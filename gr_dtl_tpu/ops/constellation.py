@@ -1,0 +1,195 @@
+"""Constellation tables, mapping, hard decision and soft (LLR) demapping.
+
+TPU-native design note
+----------------------
+The reference selects a per-frame constellation object via a stream tag
+and loops symbol-by-symbol on the host
+(``lib/dtl/ofdm_adaptive_chunks_to_symbols_bc_impl.cc:59-81``,
+``ofdm_adaptive_constellation_decoder_cb_impl.cc:69-93``,
+``ofdm_adaptive_constellation_soft_cf_impl.cc:68-156``).  Here every
+constellation lives in one padded ``[n_types, 16]`` table so a *batch*
+of frames with *different* per-frame constellations is mapped/demapped
+with a single gather + vectorized distance computation — no control
+flow, fully fused by XLA.
+
+Constellation set (ids match the reference enum
+``include/gnuradio/dtl/ofdm_adaptive_utils.h:22-28``):
+
+  UNKNOWN=0, BPSK=1, QPSK=2, PSK8=3, QAM16=4
+
+Scalings match the reference: QPSK points are additionally scaled by
+0.5 (``lib/dtl/constellation.cc:18-24`` — "normalized" QPSK), BPSK is
+±1, 8PSK unit circle, 16QAM on the ±1/±3 grid scaled by 1/sqrt(10).
+Bit-to-point mappings are Gray codes chosen for this framework (the
+mapping only needs to be self-consistent between our TX and RX; Gray
+labeling gives the same or better BER than the reference's labels).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ConstellationType",
+    "N_TYPES",
+    "MAX_POINTS",
+    "MAX_BPS",
+    "POINTS",
+    "BITS_PER_SYMBOL",
+    "map_symbols",
+    "hard_decision",
+    "soft_llrs",
+    "min_distances",
+]
+
+
+class ConstellationType(enum.IntEnum):
+    UNKNOWN = 0
+    BPSK = 1
+    QPSK = 2
+    PSK8 = 3
+    QAM16 = 4
+
+
+N_TYPES = 5
+MAX_POINTS = 16
+MAX_BPS = 4
+
+_SQ2 = np.sqrt(2.0) / 2.0
+
+
+def _build_tables():
+    pts = np.zeros((N_TYPES, MAX_POINTS), dtype=np.complex64)
+    bps = np.zeros((N_TYPES,), dtype=np.int32)
+
+    # BPSK: 0 -> -1, 1 -> +1 (same as gr constellation_bpsk)
+    pts[1, 0] = -1.0
+    pts[1, 1] = 1.0
+    pts[1, 2:] = pts[1, (np.arange(2, MAX_POINTS) % 2)]
+    bps[1] = 1
+
+    # QPSK (normalized x0.5, ref constellation.cc:18-24): Gray, b0 -> I, b1 -> Q
+    for s in range(4):
+        i = 1.0 if s & 1 else -1.0
+        q = 1.0 if s & 2 else -1.0
+        pts[2, s] = 0.5 * (_SQ2 * i + 1j * _SQ2 * q)
+    pts[2, 4:] = pts[2, np.arange(4, MAX_POINTS) % 4]
+    bps[2] = 2
+
+    # 8PSK: Gray-coded around the circle.
+    gray3 = [0, 1, 3, 2, 6, 7, 5, 4]
+    for pos, sym in enumerate(gray3):
+        ang = 2 * np.pi * pos / 8
+        pts[3, sym] = np.cos(ang) + 1j * np.sin(ang)
+    pts[3, 8:] = pts[3, np.arange(8, MAX_POINTS) % 8]
+    bps[3] = 3
+
+    # 16QAM: Gray per axis, level 1/sqrt(10): I from bits (b0,b1), Q from (b2,b3)
+    level = 1.0 / np.sqrt(10.0)
+    gray2 = {0: -3.0, 1: -1.0, 3: 1.0, 2: 3.0}
+    for s in range(16):
+        i = gray2[s & 3]
+        q = gray2[(s >> 2) & 3]
+        pts[4, s] = level * (i + 1j * q)
+    bps[4] = 4
+
+    # validity mask [type, point]
+    valid = np.zeros((N_TYPES, MAX_POINTS), dtype=bool)
+    for t in range(1, N_TYPES):
+        valid[t, : 1 << bps[t]] = True
+
+    # per-(type, point, bit) bit values for soft demap
+    bitvals = ((np.arange(MAX_POINTS)[None, :, None] >> np.arange(MAX_BPS)[None, None, :]) & 1).astype(np.float32)
+    bitvals = np.broadcast_to(bitvals, (N_TYPES, MAX_POINTS, MAX_BPS)).copy()
+
+    # min distance between any two valid points (for the metric block,
+    # ref ofdm_adaptive_constellation_metric_vcvf_impl.cc:57-71)
+    mind = np.zeros((N_TYPES,), dtype=np.float32)
+    for t in range(1, N_TYPES):
+        p = pts[t, : 1 << bps[t]]
+        d = np.abs(p[:, None] - p[None, :])
+        np.fill_diagonal(d, np.inf)
+        mind[t] = d.min()
+    return pts, bps, valid, bitvals, mind
+
+
+POINTS, BITS_PER_SYMBOL, VALID_MASK, BIT_VALUES, MIN_DIST = _build_tables()
+
+
+def min_distances() -> np.ndarray:
+    return MIN_DIST
+
+
+def map_symbols(sym_idx: jax.Array, cnst_id: jax.Array) -> jax.Array:
+    """Map integer symbols to complex points.
+
+    Args:
+      sym_idx: [..., n] int32 symbol indices (0 .. 2^bps-1).
+      cnst_id: broadcastable to sym_idx's batch dims; per-frame
+               constellation ids.
+    Returns complex64 points, same shape as sym_idx.
+    """
+    table = jnp.asarray(POINTS)
+    cid = jnp.broadcast_to(jnp.asarray(cnst_id)[..., None], sym_idx.shape)
+    return table[cid, sym_idx]
+
+
+def hard_decision(y: jax.Array, cnst_id: jax.Array) -> jax.Array:
+    """Nearest-point decision, vectorized over a batch of mixed frames.
+
+    Args:
+      y:       [..., n] complex received symbols.
+      cnst_id: per-frame constellation ids broadcastable to y's batch dims.
+    Returns int32 symbol indices, same shape as y.
+    """
+    table = jnp.asarray(POINTS)  # [T, P]
+    valid = jnp.asarray(VALID_MASK)
+    cid = jnp.asarray(cnst_id)
+    pts = table[cid]  # [..., P]
+    ok = valid[cid]  # [..., P]
+    d2 = jnp.square(jnp.abs(y[..., None] - pts[..., None, :]))
+    d2 = jnp.where(ok[..., None, :], d2, jnp.inf)
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Array:
+    """Max-log LLRs per bit, LSB-first bit order.
+
+    Replaces the reference's per-symbol ``calc_soft_dec`` host loop
+    (``ofdm_adaptive_constellation_soft_cf_impl.cc:143-148``).  Sign
+    convention: LLR > 0 means bit 0 more likely (log P(b=0) - log P(b=1)),
+    matching this framework's LDPC decoder input convention.
+
+    Args:
+      y:         [..., n] complex received symbols.
+      cnst_id:   per-frame constellation id, broadcastable to batch dims.
+      noise_var: per-frame noise variance (sigma^2), broadcastable like
+                 cnst_id.
+    Returns [..., n, MAX_BPS] float32 LLRs; bits above the frame's bps are 0.
+    """
+    table = jnp.asarray(POINTS)
+    valid = jnp.asarray(VALID_MASK)
+    bitvals = jnp.asarray(BIT_VALUES)  # [T, P, MAX_BPS]
+    bps = jnp.asarray(BITS_PER_SYMBOL)
+
+    cid = jnp.asarray(cnst_id)
+    pts = table[cid]  # [..., P]
+    ok = valid[cid]  # [..., P]
+    bv = bitvals[cid]  # [..., P, MAX_BPS]
+    d2 = jnp.square(jnp.abs(y[..., None] - pts[..., None, :]))  # [..., n, P]
+    d2 = jnp.where(ok[..., None, :], d2, jnp.inf)
+    nv = jnp.maximum(jnp.asarray(noise_var), 1e-12)
+    metric = -d2 / nv[..., None, None]  # log-likelihood per point
+
+    m = metric[..., :, :, None]  # [..., n, P, 1]
+    b = bv[..., None, :, :]  # [..., 1, P, MAX_BPS]
+    ll0 = jnp.max(jnp.where(b == 0, m, -jnp.inf), axis=-2)
+    ll1 = jnp.max(jnp.where(b == 1, m, -jnp.inf), axis=-2)
+    llr = ll0 - ll1
+    nbits = bps[cid][..., None, None]
+    bit_ok = jnp.arange(MAX_BPS) < nbits
+    return jnp.where(bit_ok, llr, 0.0).astype(jnp.float32)

@@ -1,0 +1,24 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Sharding/collective tests need multiple devices; only one real TPU chip
+is available, so tests force the CPU platform with 8 virtual devices
+(the benchmark harness ``bench.py`` runs on the real chip separately).
+
+The session's sitecustomize registers the axon TPU PJRT plugin at
+interpreter start and forces ``jax_platforms=axon,cpu``, so the
+``JAX_PLATFORMS`` env var alone is not enough — the config must be
+updated after importing jax, before any backend is used.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
