@@ -1,0 +1,151 @@
+"""OFDM receiver chain: baseband samples -> payload bytes + telemetry.
+
+Replaces the reference's RX hierarchy (``python/dtl/ofdm_receiver.py:59-246``:
+Schmidl-Cox sync + CFO mixer + trigger repair -> header/payload demux ->
+per-path FFT -> chanest -> equalizers -> demap -> unpack) with jitted
+batch dataflow:
+
+- the timing metric for the whole sample stream is computed at once
+  (cumsum correlator, ops/sync.py) and frames are gathered as aligned
+  windows — there is no sample-by-sample state machine;
+- header and payload are equalized in two passes of the same
+  scan-based equalizer (BPSK first, then the header-announced
+  constellation), mirroring the reference's header/payload split;
+- everything below frame extraction is a single jitted function over
+  the frame batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.ops import chanest, constellation as cn
+from gr_dtl_tpu.ops import equalizer, gf2, header, ofdm, repack, sync
+from gr_dtl_tpu.models import framing
+
+__all__ = ["build_rx", "rx_frames", "detect_and_extract", "RxOut"]
+
+
+class RxOut(NamedTuple):
+    payload: jax.Array  # [B, max_frame_bytes] uint8, zeroed beyond payload_len
+    payload_len: jax.Array  # [B] int32
+    crc_ok: jax.Array  # [B] bool payload CRC32
+    header_ok: jax.Array  # [B] bool header CRC16
+    frame_no: jax.Array  # [B] int32
+    cnst_id: jax.Array  # [B] int32 constellation used for the payload
+    feedback_cnst: jax.Array  # [B] int32 peer's MCS request (in-band)
+    snr_db: jax.Array  # [B] float32 payload-equalizer SNR estimate
+    noise_var: jax.Array  # [B] float32
+    carr_offset: jax.Array  # [B] int32
+    soft_syms: jax.Array  # [B, frame_capacity_symbols] equalized payload symbols
+
+
+def build_rx(cfg):
+    return {
+        "cfg": cfg,
+        "alloc": ofdm.build_allocator(cfg),
+        "ce": chanest.build_chanest(cfg),
+        "eq": equalizer.build_equalizer(cfg),
+        "crc_tables": gf2.make_crc_tables(gf2.CRC32_FRAME, cfg.max_frame_bytes()),
+        "has_fec": cfg.fec,
+    }
+
+
+def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
+    """Schmidl-Cox detection over a contiguous stream -> aligned windows.
+
+    Assumes n_frames frames at the common period cfg.frame_samples with
+    an unknown stream offset (the loopback layout, ref
+    qa_ofdm_adaptive_txrx.py:49-114).  Returns (frames [n_frames,
+    frame_samples], eps [n_frames] fractional CFO).
+    """
+    P, M = sync.timing_metric(stream, cfg.fft_len)
+    phase = sync.fold_detect(M, cfg.frame_samples)
+    trig = sync.frame_triggers(M, phase, cfg.frame_samples, n_frames)
+    eps = sync.fine_cfo(P, trig, cfg.cp_len)
+    # FFT windows start mid-CP: trigger sits on the metric plateau
+    # [frame_start, frame_start+cp]; using it directly keeps every
+    # 64-sample window inside its own symbol (see ops/sync.py docstring).
+    offs = jnp.arange(cfg.frame_samples, dtype=jnp.int32)
+    idx = jnp.clip(trig[:, None] + offs[None, :], 0, stream.shape[-1] - 1)
+    frames = stream[idx]
+    return sync.cfo_correct(frames, eps, cfg.fft_len), eps
+
+
+def rx_frames(rxp, frames: jax.Array,
+              fallback_cnst: jax.Array | None = None) -> RxOut:
+    """Demodulate a batch of frame-aligned sample windows.
+
+    Args:
+      rxp:    from :func:`build_rx`.
+      frames: [B, frame_samples] complex64, aligned so that sample 0 is
+              within the first sync symbol's CP (e.g. from
+              :func:`detect_and_extract`).
+      fallback_cnst: [B] constellation to assume when the header CRC
+              fails (the reference keeps its previous d_constellation,
+              packet_header.cc:269-273); defaults to BPSK.
+    """
+    cfg = rxp["cfg"]
+    B = frames.shape[0]
+    n_sym = cfg.frame_ofdm_symbols
+    sym_len = cfg.symbol_len
+
+    # symbol windows: first 64 of each 80-sample slot (mid-CP alignment)
+    wins = frames.reshape(B, n_sym, sym_len)[:, :, : cfg.fft_len]
+    spectra = ofdm.ofdm_demodulate(wins)  # [B, n_sym, 64] centered
+
+    carr_off = chanest.estimate_carrier_offset(spectra[:, 0], spectra[:, 1], rxp["ce"])
+    spectra = chanest.apply_carrier_shift(spectra, carr_off, rxp["ce"], 0)
+    taps0 = chanest.estimate_taps(spectra[:, 0], spectra[:, 1], rxp["ce"])
+
+    hs = cfg.header_symbols
+    n_sync = cfg.n_sync_symbols
+    occ = jnp.asarray(rxp["alloc"]["occ_idx"])
+
+    # --- header pass (BPSK) ---
+    hdr_spec = spectra[:, n_sync : n_sync + hs]
+    bpsk = jnp.full((B,), int(cn.ConstellationType.BPSK), jnp.int32)
+    hdr_eq = equalizer.equalize_frame(hdr_spec, taps0, bpsk, rxp["eq"], sym_offset=0)
+    hdr_bits = cn.hard_decision(hdr_eq.soft[:, :, occ], bpsk[:, None, None])
+    hdr_bits = hdr_bits.reshape(B, hs * cfg.n_data_carriers)
+    fields, header_ok = header.parse_header(hdr_bits, rxp["has_fec"])
+
+    # constellation gate: update only on CRC ok and a valid id
+    # (ref packet_header.cc:269-273)
+    if fallback_cnst is None:
+        fallback_cnst = jnp.full((B,), int(cn.ConstellationType.BPSK), jnp.int32)
+    valid_id = (fields.cnst_id >= 1) & (fields.cnst_id <= 4)
+    cnst = jnp.where(header_ok & valid_id, fields.cnst_id, fallback_cnst)
+
+    # --- payload pass ---
+    pay_spec = spectra[:, n_sync + hs :]
+    pay_eq = equalizer.equalize_frame(
+        pay_spec, hdr_eq.taps, cnst, rxp["eq"], sym_offset=hs
+    )
+    soft = pay_eq.soft[:, :, occ].reshape(B, cfg.frame_capacity_symbols)
+    dec = cn.hard_decision(soft, cnst[:, None])
+    bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst]
+    frame_bytes = repack.symbols_to_bytes(dec, bps, cfg.max_frame_bytes())
+
+    payload, payload_len, crc_ok = framing.verify_frame_bytes(
+        frame_bytes, fields.payload_len, rxp["crc_tables"]
+    )
+    crc_ok = crc_ok & header_ok
+
+    return RxOut(
+        payload=payload,
+        payload_len=payload_len,
+        crc_ok=crc_ok,
+        header_ok=header_ok,
+        frame_no=fields.frame_no,
+        cnst_id=cnst,
+        feedback_cnst=fields.feedback_cnst,
+        snr_db=pay_eq.snr_db,
+        noise_var=pay_eq.noise_var,
+        carr_offset=carr_off,
+        soft_syms=soft,
+    )

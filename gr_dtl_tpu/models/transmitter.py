@@ -1,0 +1,97 @@
+"""OFDM transmitter chain: payload bytes -> complex baseband samples.
+
+Replaces the reference's TX hierarchy (``python/dtl/ofdm_transmitter.py:63-213``:
+framer -> header generator + BPSK mod || payload mod -> tagged-stream
+mux -> carrier allocator -> IFFT -> cyclic prefixer) with one jitted
+function over a *batch of frames*: every per-frame quantity
+(constellation, payload length, frame number, feedback echo) is an
+array, the whole batch flows through fused tensor ops, and the size-64
+IDFT runs as an MXU matmul.  No scheduler, no per-block threads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.ops import constellation as cn
+from gr_dtl_tpu.ops import gf2, header, ofdm, repack
+from gr_dtl_tpu.models import framing
+
+__all__ = ["build_tx", "tx_frames", "TxOut"]
+
+
+class TxOut(NamedTuple):
+    samples: jax.Array  # [B, frame_samples] complex64 baseband
+    frame_bytes: jax.Array  # [B, max_frame_bytes] the framed bytes (for BER tools)
+    l_total: jax.Array  # [B] header payload-length field
+
+
+def build_tx(cfg):
+    """Precompute all TX constants for a config."""
+    return {
+        "cfg": cfg,
+        "alloc": ofdm.build_allocator(cfg),
+        "crc_tables": gf2.make_crc_tables(gf2.CRC32_FRAME, cfg.max_frame_bytes()),
+        "has_fec": cfg.fec,
+    }
+
+
+def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
+              cnst_id: jax.Array, feedback_cnst: jax.Array,
+              frame_no: jax.Array, key: jax.Array) -> TxOut:
+    """Modulate a batch of frames.
+
+    Args:
+      txp:          from :func:`build_tx` (closed over at trace time).
+      payload:      [B, max_frame_bytes] uint8, zero beyond payload_len.
+      payload_len:  [B] int32 payload bytes (excl. CRC32). Must satisfy
+                    payload_len + 4 <= cfg.frame_bytes(bps(cnst_id)).
+      cnst_id:      [B] int32 payload constellation per frame.
+      feedback_cnst:[B] int32 echo of the local receiver's MCS request
+                    (in-band adaptation, ref packet_header.cc:174-175).
+      frame_no:     [B] int32 (12-bit, wraps).
+      key:          PRNG key for random padding.
+    """
+    cfg = txp["cfg"]
+    B = payload.shape[0]
+
+    frame, l_total = framing.build_frame_bytes(
+        payload, payload_len, key, cfg.max_frame_bytes(), txp["crc_tables"]
+    )
+
+    bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
+    n_payload_syms = cfg.frame_capacity_symbols
+    sym_idx = repack.bytes_to_symbols(frame, bps, n_payload_syms)
+    payload_pts = cn.map_symbols(sym_idx, cnst_id[:, None])  # [B, S]
+    payload_grid = payload_pts.reshape(B, cfg.frame_length, cfg.n_data_carriers)
+
+    fields = header.HeaderFields(
+        payload_len=l_total,
+        frame_no=frame_no,
+        cnst_id=cnst_id,
+        feedback_cnst=feedback_cnst,
+        tb_no=jnp.zeros((B,), jnp.int32),
+        fec_feedback=jnp.zeros((B,), jnp.int32),
+        tb_offset=jnp.zeros((B,), jnp.int32),
+        fec_scheme=jnp.zeros((B,), jnp.int32),
+        tb_payload=jnp.zeros((B,), jnp.int32),
+    )
+    hbits = header.format_header(fields, txp["has_fec"])  # [B, 48*hs]
+    # BPSK map: bit b -> points[BPSK][b]
+    hpts = cn.map_symbols(
+        hbits.astype(jnp.int32),
+        jnp.full((B,), int(cn.ConstellationType.BPSK), jnp.int32)[:, None],
+    )
+    hgrid = hpts.reshape(B, cfg.header_symbols, cfg.n_data_carriers)
+
+    data_syms = jnp.concatenate([hgrid, payload_grid], axis=1)
+    spectra = ofdm.allocate_carriers(data_syms, txp["alloc"])  # [B, n_sym, 64]
+    time_syms = ofdm.ofdm_modulate(spectra)
+    with_cp = ofdm.add_cyclic_prefix(time_syms, cfg.cp_len)
+    samples = with_cp.reshape(B, cfg.frame_samples).astype(jnp.complex64)
+    return TxOut(samples=samples, frame_bytes=frame, l_total=l_total)

@@ -1,0 +1,128 @@
+"""Channel estimation from the two Schmidl-Cox sync symbols.
+
+Replaces ``digital.ofdm_chanest_vcvc`` (ref ofdm_receiver.py:102-103)
+and the carrier-offset de-rotation inside the reference's frame
+equalizer (``ofdm_adaptive_frame_equalizer_vcvc_impl.cc:152-177``):
+
+1. coarse *integer* carrier-offset search by correlating the received
+   sync spectra against the known sync words over candidate shifts
+   (vectorized gather + reduction instead of a per-shift host loop),
+2. spectrum de-shift + per-symbol phase ramp for the whole frame,
+3. LS channel taps from both sync words on their active carriers.
+
+Sign conventions: a residual time-domain CFO of +n0 subcarriers makes
+the received spectrum appear at index c + n0; de-shifting gathers
+``y[k + n0]``.  Because OFDM symbol s's FFT window starts 80 s samples
+into the frame, the same CFO adds a common phase
+``exp(+2i pi n0 cp_len s / fft_len)`` to symbol s, removed by the ramp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "build_chanest",
+    "estimate_carrier_offset",
+    "apply_carrier_shift",
+    "estimate_taps",
+]
+
+
+def build_chanest(cfg, max_carr_offset: int = 6):
+    half = cfg.fft_len // 2
+    w1 = cfg.sync_word1()
+    w2 = cfg.sync_word2()
+    active = np.zeros(cfg.fft_len, dtype=bool)
+    for c in list(cfg.occupied_carriers) + list(cfg.pilot_carriers):
+        active[c + half] = True
+    return {
+        "w1": w1,
+        "w2": w2,
+        "active": active,
+        "max_off": max_carr_offset,
+        "fft_len": cfg.fft_len,
+        "cp_len": cfg.cp_len,
+    }
+
+
+def _shifted(y: jax.Array, off) -> jax.Array:
+    """out[k] = y[k + off] with zero fill; works over leading dims."""
+    n = y.shape[-1]
+    idx = jnp.arange(n) + off
+    ok = (idx >= 0) & (idx < n)
+    idx = jnp.clip(idx, 0, n - 1)
+    return jnp.where(ok, y[..., idx], 0.0)
+
+
+def estimate_carrier_offset(y1: jax.Array, y2: jax.Array, ce) -> jax.Array:
+    """Integer carrier offset n0 per frame.
+
+    Args:
+      y1, y2: [B, fft_len] received centered spectra of the sync symbols.
+    Returns [B] int32: the spectrum is found at carrier c + n0.
+    """
+    w1 = jnp.asarray(ce["w1"])
+    w2 = jnp.asarray(ce["w2"])
+    offs = jnp.arange(-ce["max_off"], ce["max_off"] + 1, dtype=jnp.int32)
+
+    # Differential correlation: a timing offset of d samples multiplies
+    # carrier k by exp(-2i pi k d / N), which would destroy a plain
+    # correlation against the known word.  Correlating *carrier pair
+    # products* y[k] conj(y[k+s]) against w[k] conj(w[k+s]) cancels that
+    # ramp (the product's phase is a constant), leaving a sharp peak at
+    # the true integer offset — same trick as the reference's chanest.
+    def diff(y, w, step):
+        dy = y * jnp.conj(jnp.roll(y, -step, axis=-1))
+        dw = w * jnp.conj(jnp.roll(w, -step, axis=-1))
+        return dy, dw
+
+    dy1, dw1 = diff(y1, w1, 2)  # sync word 1 lives on even carriers
+    dy2, dw2 = diff(y2, w2, 1)
+
+    def corr_at(off):
+        s1 = _shifted(dy1, off)
+        s2 = _shifted(dy2, off)
+        return jnp.abs(jnp.sum(s1 * jnp.conj(dw1), axis=-1)) + jnp.abs(
+            jnp.sum(s2 * jnp.conj(dw2), axis=-1)
+        )
+
+    scores = jax.vmap(corr_at, out_axes=-1)(offs)  # [B, n_off]
+    return offs[jnp.argmax(scores, axis=-1)].astype(jnp.int32)
+
+
+def apply_carrier_shift(spectra: jax.Array, carr_offset: jax.Array,
+                        ce, first_sym_index: int = 0) -> jax.Array:
+    """Undo integer carrier offset on [B, n_sym, fft_len] spectra.
+
+    De-shift by n0 carriers and remove the per-symbol common phase
+    (see module docstring).  ``first_sym_index`` is the absolute index
+    within the frame (sync symbols included) of ``spectra[:, 0]``.
+    """
+    n_sym = spectra.shape[1]
+    shifted = jax.vmap(_shifted)(spectra, carr_offset)  # vmap over B
+    s = jnp.arange(n_sym, dtype=jnp.float32) + jnp.float32(first_sym_index)
+    ph = (
+        -2.0 * jnp.pi * carr_offset[:, None].astype(jnp.float32)
+        * ce["cp_len"] * s[None, :] / ce["fft_len"]
+    )
+    return shifted * jnp.exp(1j * ph)[..., None]
+
+
+def estimate_taps(y1c: jax.Array, y2c: jax.Array, ce) -> jax.Array:
+    """LS channel taps from offset-corrected sync spectra.
+
+    Returns [B, fft_len] complex64; 1.0 on inactive carriers so later
+    divisions stay benign.
+    """
+    w1 = jnp.asarray(ce["w1"])
+    w2 = jnp.asarray(ce["w2"])
+    active = jnp.asarray(ce["active"])
+    w1_nz = jnp.abs(w1) > 0
+    h2 = y2c / jnp.where(jnp.abs(w2) > 0, w2, 1.0)
+    h1 = y1c / jnp.where(w1_nz, w1, 1.0)
+    taps = jnp.where(w1_nz[None, :], 0.5 * (h1 + h2), h2)
+    taps = jnp.where(active[None, :], taps, 1.0)
+    return taps.astype(jnp.complex64)

@@ -124,6 +124,18 @@ def min_distances() -> np.ndarray:
     return MIN_DIST
 
 
+def _expand_to(x: jax.Array, target_shape) -> jax.Array:
+    """Right-pad x with singleton dims, then broadcast to target_shape.
+
+    Lets callers pass per-frame quantities as [B] (or [B, 1], or full
+    shape) against per-symbol arrays of shape [B, ..., n].
+    """
+    x = jnp.asarray(x)
+    while x.ndim < len(target_shape):
+        x = x[..., None]
+    return jnp.broadcast_to(x, target_shape)
+
+
 def map_symbols(sym_idx: jax.Array, cnst_id: jax.Array) -> jax.Array:
     """Map integer symbols to complex points.
 
@@ -134,7 +146,7 @@ def map_symbols(sym_idx: jax.Array, cnst_id: jax.Array) -> jax.Array:
     Returns complex64 points, same shape as sym_idx.
     """
     table = jnp.asarray(POINTS)
-    cid = jnp.broadcast_to(jnp.asarray(cnst_id)[..., None], sym_idx.shape)
+    cid = _expand_to(cnst_id, sym_idx.shape)
     return table[cid, sym_idx]
 
 
@@ -148,11 +160,11 @@ def hard_decision(y: jax.Array, cnst_id: jax.Array) -> jax.Array:
     """
     table = jnp.asarray(POINTS)  # [T, P]
     valid = jnp.asarray(VALID_MASK)
-    cid = jnp.asarray(cnst_id)
+    cid = _expand_to(cnst_id, y.shape)
     pts = table[cid]  # [..., P]
     ok = valid[cid]  # [..., P]
-    d2 = jnp.square(jnp.abs(y[..., None] - pts[..., None, :]))
-    d2 = jnp.where(ok[..., None, :], d2, jnp.inf)
+    d2 = jnp.square(jnp.abs(y[..., None] - pts))
+    d2 = jnp.where(ok, d2, jnp.inf)
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
@@ -176,20 +188,19 @@ def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Arr
     bitvals = jnp.asarray(BIT_VALUES)  # [T, P, MAX_BPS]
     bps = jnp.asarray(BITS_PER_SYMBOL)
 
-    cid = jnp.asarray(cnst_id)
-    pts = table[cid]  # [..., P]
-    ok = valid[cid]  # [..., P]
-    bv = bitvals[cid]  # [..., P, MAX_BPS]
-    d2 = jnp.square(jnp.abs(y[..., None] - pts[..., None, :]))  # [..., n, P]
-    d2 = jnp.where(ok[..., None, :], d2, jnp.inf)
-    nv = jnp.maximum(jnp.asarray(noise_var), 1e-12)
-    metric = -d2 / nv[..., None, None]  # log-likelihood per point
+    cid = _expand_to(cnst_id, y.shape)
+    pts = table[cid]  # [..., n, P]
+    ok = valid[cid]
+    bv = bitvals[cid]  # [..., n, P, MAX_BPS]
+    d2 = jnp.square(jnp.abs(y[..., None] - pts))  # [..., n, P]
+    d2 = jnp.where(ok, d2, jnp.inf)
+    nv = _expand_to(noise_var, y.shape)
+    metric = -d2 / jnp.maximum(nv, 1e-12)[..., None]  # log-likelihood per point
 
-    m = metric[..., :, :, None]  # [..., n, P, 1]
-    b = bv[..., None, :, :]  # [..., 1, P, MAX_BPS]
-    ll0 = jnp.max(jnp.where(b == 0, m, -jnp.inf), axis=-2)
-    ll1 = jnp.max(jnp.where(b == 1, m, -jnp.inf), axis=-2)
+    m = metric[..., :, None]  # [..., n, P, 1]
+    ll0 = jnp.max(jnp.where(bv == 0, m, -jnp.inf), axis=-2)
+    ll1 = jnp.max(jnp.where(bv == 1, m, -jnp.inf), axis=-2)
     llr = ll0 - ll1
-    nbits = bps[cid][..., None, None]
+    nbits = bps[cid][..., None]
     bit_ok = jnp.arange(MAX_BPS) < nbits
     return jnp.where(bit_ok, llr, 0.0).astype(jnp.float32)

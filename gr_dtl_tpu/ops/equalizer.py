@@ -1,0 +1,158 @@
+"""Pilot-aided decision-directed equalizer + per-frame SNR estimation.
+
+TPU-native design note
+----------------------
+The reference equalizes carrier-by-carrier in a nested host loop with
+per-carrier EMA channel updates (``ofdm_adaptive_equalizer.cc:217-268``)
+and a streaming SNR estimator reset per frame.  The update is
+decision-directed, hence inherently sequential *across OFDM symbols*,
+but every carrier is independent — so here it is a ``lax.scan`` over
+the frame's symbols with all carriers (and the whole frame batch)
+vectorized.  20 scan steps with [B, 64] lanes each keeps the VPU busy;
+there is no per-carrier control flow (masks select pilot/data/idle
+carriers).
+
+Semantics mirror the reference exactly:
+ - taps update ``H = alpha*H + (1-alpha) * Y/ref`` with ``ref`` the
+   known pilot value on pilot carriers and the *decided* symbol on data
+   carriers (alpha = 0.1, ref ofdm_receiver.py:115 — note the reference
+   weights the NEW estimate by 1-alpha = 0.9),
+ - hard output = decided symbols, soft output = pre-decision equalized
+   symbols (ref equalizer.cc:250-260),
+ - SNR from the equalized pilots: the reference's "simple" estimator
+   tracks y1=E|x|, y2=E|x|^2 and reports snr = y1^2/(y2-y1^2)
+   (gr mpsk_snr_est_simple); with the per-frame reset this is the plain
+   mean over the frame's pilots, which is what we compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.ops import constellation as cn
+
+__all__ = ["build_equalizer", "equalize_frame", "EqualizerOut"]
+
+
+class EqualizerOut(NamedTuple):
+    hard: jax.Array  # [B, n_sym, fft_len] decided symbols (pilots replaced by known values)
+    soft: jax.Array  # [B, n_sym, fft_len] pre-decision equalized symbols
+    taps: jax.Array  # [B, fft_len] final channel state
+    snr_db: jax.Array  # [B] estimated SNR (dB) from pilots
+    noise_var: jax.Array  # [B] linear noise variance estimate
+
+
+def build_equalizer(cfg):
+    """Precompute pilot layout constants.
+
+    pilot_vals[s, k]: known pilot value for data-symbol s (0 = header),
+    matching the allocator's scrambled pilot sets
+    (ops/ofdm.build_allocator; ref ofdm_adaptive_config.py:33-36 and
+    equalizer pilot-set loading equalizer.cc:196-213).
+    """
+    fft_len = cfg.fft_len
+    half = fft_len // 2
+    occ = np.zeros(fft_len, dtype=bool)
+    for c in cfg.occupied_carriers:
+        occ[c + half] = True
+    pil = np.zeros(fft_len, dtype=bool)
+    pil_idx = np.array(cfg.pilot_carriers, dtype=np.int32) + half
+    pil[pil_idx] = True
+
+    n_data_syms = cfg.header_symbols + cfg.frame_length
+    seq = np.array(cfg.pilot_sym_scramble_seq, dtype=np.float32)
+    pilot_vals = np.zeros((n_data_syms, fft_len), dtype=np.complex64)
+    for s in range(n_data_syms):
+        x = seq[s % len(seq)]
+        pilot_vals[s, pil_idx] = np.array([x, x, x, -x], dtype=np.complex64)
+
+    return {
+        "occ_mask": occ,
+        "pilot_mask": pil,
+        "pilot_vals": pilot_vals,
+        "alpha": 0.1,
+        "header_syms": cfg.header_symbols,
+    }
+
+
+def equalize_frame(spectra: jax.Array, init_taps: jax.Array,
+                   cnst_id: jax.Array, eq, sym_offset: int = 0) -> EqualizerOut:
+    """Equalize the data symbols of a batch of frames.
+
+    Args:
+      spectra:   [B, n_data_syms, fft_len] offset-corrected spectra
+                 (header symbol(s) first, then payload).
+      init_taps: [B, fft_len] from chanest.
+      cnst_id:   [B] payload constellation id; the header symbol(s) use
+                 BPSK regardless (ref header equalizer fixed BPSK,
+                 equalizer.cc:161-174). Header symbol count is inferred
+                 from eq["pilot_vals"] rows vs payload rows at trace
+                 time via the header_syms argument baked in eq.
+      eq:        from :func:`build_equalizer`.
+      sym_offset: absolute data-symbol index of spectra[:, 0] (0 = the
+                 first header symbol) — selects the right pilot sets
+                 when header and payload are equalized in two passes
+                 (the payload pass passes sym_offset=header_symbols,
+                 mirroring the reference's symbols_skipped,
+                 ofdm_receiver.py:163).
+    """
+    B, n_sym, fft_len = spectra.shape
+    occ = jnp.asarray(eq["occ_mask"])
+    pil = jnp.asarray(eq["pilot_mask"])
+    pilot_vals = jnp.asarray(eq["pilot_vals"])  # [n_sym, fft]
+    alpha = eq["alpha"]
+
+    # per-symbol constellation: header rows use BPSK, payload rows the
+    # frame's adaptive constellation
+    header_syms = eq.get("header_syms", 1)
+    abs_idx = jnp.arange(n_sym) + sym_offset
+    sym_cnst = jnp.where(
+        (abs_idx < header_syms)[None, :],
+        jnp.int32(cn.ConstellationType.BPSK),
+        cnst_id[:, None].astype(jnp.int32),
+    )  # [B, n_sym]
+
+    def step(H, xs):
+        Y, pv, cid = xs  # Y: [B, fft], pv: [fft], cid: [B]
+        eqd = Y / H  # [B, fft]
+        # data-carrier decision (vectorized nearest point, mixed batch)
+        dec_idx = cn.hard_decision(eqd, cid[:, None])
+        dec = cn.map_symbols(dec_idx, cid[:, None])
+        ref = jnp.where(pil[None, :], pv[None, :], dec)
+        ref_safe = jnp.where(jnp.abs(ref) > 0, ref, 1.0)
+        H_new = alpha * H + (1.0 - alpha) * Y / ref_safe
+        upd = (occ | pil)[None, :]
+        H = jnp.where(upd, H_new, H)
+        hard = jnp.where(pil[None, :], pv[None, :], dec)
+        # pilot error statistics for SNR (pre-update equalized pilots)
+        perr = jnp.where(pil[None, :], eqd, 0.0)
+        p_y1 = jnp.sum(jnp.where(pil[None, :], jnp.abs(perr), 0.0), axis=-1)
+        p_y2 = jnp.sum(jnp.where(pil[None, :], jnp.abs(perr) ** 2, 0.0), axis=-1)
+        return H, (hard, eqd, p_y1, p_y2)
+
+    xs = (
+        jnp.moveaxis(spectra, 1, 0),  # [n_sym, B, fft]
+        pilot_vals[sym_offset : sym_offset + n_sym],
+        jnp.moveaxis(sym_cnst, 1, 0),  # [n_sym, B]
+    )
+    H_final, (hard, soft, p_y1, p_y2) = jax.lax.scan(step, init_taps, xs)
+
+    n_pilots = jnp.sum(pil)
+    tot = n_sym * n_pilots
+    y1 = jnp.sum(p_y1, axis=0) / tot  # E|x| over all frame pilots
+    y2 = jnp.sum(p_y2, axis=0) / tot  # E|x|^2
+    noise_var = jnp.maximum(y2 - y1 * y1, 1e-12)
+    snr_db = 10.0 * jnp.log10(jnp.maximum(y1 * y1, 1e-12) / noise_var)
+
+    return EqualizerOut(
+        hard=jnp.moveaxis(hard, 0, 1),
+        soft=jnp.moveaxis(soft, 0, 1),
+        taps=H_final,
+        snr_db=snr_db.astype(jnp.float32),
+        noise_var=noise_var.astype(jnp.float32),
+    )

@@ -1,0 +1,143 @@
+"""Schmidl-Cox synchronization: timing metric, trigger detection, CFO.
+
+TPU-native design note
+----------------------
+The reference's ``digital.ofdm_sync_sc_cfb`` walks the stream sample by
+sample updating running sums, and a separate trigger-repair block
+(``ofdm_adaptive_frame_detect_bb_impl.cc:64-173``) fixes drifted /
+missing triggers with a small state machine.  Here the timing metric
+for the *whole* stream is computed at once with cumulative sums
+(O(N), fully vectorized), candidate triggers are found by folding the
+metric over the known frame period (every frame votes for the common
+phase), and per-frame refinement picks the local plateau — the same
+lock-to-period idea as the repair block but as array ops instead of a
+state machine.
+
+Frame timing geometry: sync word 1 occupies even carriers only, so its
+64-sample useful part repeats with period 32.  Together with the cyclic
+prefix (last 16 samples of the symbol) the period-32 repetition spans
+samples [frame_start, frame_start+80) and the metric
+
+    P(d) = sum_{m<32} conj(r[d+m]) r[d+m+32],   M(d) = |P|^2 / R(d)^2
+
+has a plateau for d in [frame_start, frame_start+cp_len].  The fine
+(fractional-carrier) CFO is angle(P)/pi in subcarrier units.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "timing_metric",
+    "fold_detect",
+    "frame_triggers",
+    "fine_cfo",
+    "cfo_correct",
+]
+
+_HALF = 32  # repetition lag: fft_len // 2
+
+
+def _moving_sum(x: jax.Array, w: int) -> jax.Array:
+    """[N] -> [N - w + 1] windowed sums via cumsum (O(N), vectorized)."""
+    c = jnp.cumsum(x, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    return c[..., w:] - c[..., :-w]
+
+
+def timing_metric(r: jax.Array, fft_len: int = 64):
+    """Schmidl-Cox P(d) and M(d) over a sample stream.
+
+    Args:
+      r: [..., N] complex64 stream.
+    Returns (P, M): each [..., N - fft_len], where index d corresponds
+    to a correlation window starting at sample d.
+    """
+    half = fft_len // 2
+    lagged = jnp.conj(r[..., :-half]) * r[..., half:]  # [N-half]
+    P = _moving_sum(lagged, half)  # [N-2*half+1]
+    energy = jnp.abs(r[..., half:]) ** 2
+    R = _moving_sum(energy, half)  # [N-2*half+1]
+    P = P[..., : r.shape[-1] - fft_len]
+    R = R[..., : r.shape[-1] - fft_len]
+    M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
+    return P, M
+
+
+def fold_detect(M: jax.Array, frame_samples: int) -> jax.Array:
+    """Find the common trigger phase by folding the metric over the period.
+
+    Every frame in the stream votes for its start offset mod
+    frame_samples; the stream's frame phase is the argmax of the folded
+    sum.  Replaces the reference's lock-acquisition logic
+    (frame_detect_bb: 3 consecutive synced triggers to lock) with a
+    batch vote that uses *all* frames at once.
+
+    Args:
+      M: [N'] timing metric.
+    Returns scalar int32 offset in [0, frame_samples).
+    """
+    n_full = M.shape[-1] // frame_samples
+    folded = jnp.sum(
+        M[..., : n_full * frame_samples].reshape(*M.shape[:-1], n_full, frame_samples),
+        axis=-2,
+    )
+    return jnp.argmax(folded, axis=-1).astype(jnp.int32)
+
+
+def frame_triggers(M: jax.Array, phase: jax.Array, frame_samples: int,
+                   n_frames: int, search: int = 24) -> jax.Array:
+    """Per-frame trigger refinement around the folded phase.
+
+    The Schmidl-Cox metric has a flat plateau of cp_len+1 samples over
+    [frame_start, frame_start+cp]; a raw argmax lands anywhere on it
+    (noise can even push it a sample past the edge, causing ISI).  For
+    frame k this searches M around phase + k*frame_samples and returns
+    the *centroid* of the plateau (samples above 80% of the local max,
+    metric-weighted) — which sits mid-CP, leaving ~cp/2 samples of
+    guard on both sides.  Plays the role of the reference's trigger
+    correction (ofdm_adaptive_frame_detect_bb_impl.cc:64-173).
+
+    Returns [n_frames] int32 trigger positions (window-start indices).
+    """
+    base = phase + jnp.arange(n_frames, dtype=jnp.int32) * frame_samples
+    offs = jnp.arange(-search, search + 1, dtype=jnp.int32)
+    idx = jnp.clip(base[:, None] + offs[None, :], 0, M.shape[-1] - 1)
+    vals = M[idx]  # [n_frames, n_offs]
+    local_max = jnp.max(vals, axis=-1, keepdims=True)
+    on_plateau = vals > 0.8 * local_max
+    w = jnp.where(on_plateau, vals, 0.0)
+    centroid = jnp.sum(w * idx.astype(w.dtype), axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1e-12
+    )
+    return jnp.round(centroid).astype(jnp.int32)
+
+
+def fine_cfo(P: jax.Array, triggers: jax.Array, cp_len: int = 16) -> jax.Array:
+    """Fractional CFO per frame, in subcarrier units: angle(P)/pi.
+
+    Averages P over the metric plateau around the (centroid) trigger
+    for noise robustness (the reference takes the single-sample value
+    the ``ofdm_sync_sc_cfb`` block latched at the trigger).
+    """
+    offs = jnp.arange(-(cp_len // 2), cp_len // 2 + 1, dtype=jnp.int32)
+    idx = jnp.clip(triggers[:, None] + offs[None, :], 0, P.shape[-1] - 1)
+    Pav = jnp.sum(P[idx], axis=-1)
+    return (jnp.angle(Pav) / jnp.pi).astype(jnp.float32)
+
+
+def cfo_correct(frames: jax.Array, eps: jax.Array, fft_len: int = 64) -> jax.Array:
+    """De-rotate per-frame sample windows by the fractional CFO.
+
+    Args:
+      frames: [B, frame_samples] complex sample windows (frame-aligned).
+      eps:    [B] CFO in subcarrier units.
+    Equivalent to the reference's oscillator+mixer path
+    (frequency_modulator_fc(-2/fft_len) + multiply, ofdm_receiver.py:73-89)
+    but applied per extracted frame window.
+    """
+    n = jnp.arange(frames.shape[-1], dtype=jnp.float32)
+    ph = -2.0 * jnp.pi * eps[:, None] * n[None, :] / fft_len
+    return frames * jnp.exp(1j * ph.astype(jnp.float32))
