@@ -1,0 +1,85 @@
+"""Benchmark: OFDM receiver throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "ofdm_demod_throughput", "value": X, "unit": "Msamples/s",
+   "vs_baseline": X/100}
+
+The metric counts complex baseband samples fully demodulated per second
+through the *complete* receiver (Schmidl-Cox detection + CFO correction
++ FFT + chanest + 2-pass equalizer + header parse + demap + repack +
+CRC verify).  Baseline = the project north star of 100 Msamples/s/chip
+(BASELINE.md; the reference publishes no speed numbers — its examples
+run at 0.2-0.9 MS/s on CPU SDR rates).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.ops import channel, constellation as cn
+    from gr_dtl_tpu.models import receiver, transmitter
+
+    cfg = cfgmod.make_rx_config(None, frame_length=20)
+    txcfg = cfgmod.make_tx_config(None, frame_length=20)
+    txp = transmitter.build_tx(txcfg)
+    rxp = receiver.build_rx(cfg)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024  # frames per step
+    n_samples = B * cfg.frame_samples
+
+    rng = np.random.RandomState(0)
+    maxb = txcfg.max_frame_bytes()
+    cnst = rng.randint(1, 5, size=B).astype(np.int32)
+    payload = np.zeros((B, maxb), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for i in range(B):
+        plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+        jax.random.PRNGKey(0),
+    )
+    # ~30 dB SNR: TX sample power is n_active/fft_len-ish; exact value is
+    # irrelevant for throughput, and host fetches of device scalars are
+    # avoided before warmup (first transfer over the axon tunnel costs
+    # ~95 s; do it once, deliberately, below).
+    stream = channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1), 0.02)
+
+    @jax.jit
+    def rx_full(stream):
+        frames, _ = receiver.detect_and_extract(stream, cfg, B)
+        return receiver.rx_frames(rxp, frames)
+
+    # warmup / compile, then warm the device->host transfer path
+    res = jax.block_until_ready(rx_full(stream))
+    ok = float(jax.jit(lambda r: r.crc_ok.astype(jnp.float32).mean())(res))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = rx_full(stream)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / iters
+
+    msps = n_samples / dt / 1e6
+    print(json.dumps({
+        "metric": "ofdm_demod_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / 100.0, 3),
+        "extra": {"frames_per_step": B, "crc_ok_rate": ok,
+                  "step_ms": round(dt * 1e3, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,14 +50,14 @@ def build_frame_bytes(payload: jax.Array, payload_len: jax.Array,
       l_total: [B] int32 = payload_len + 4 (the header length field).
     """
     B = payload.shape[0]
-    crc = gf2.crc_device(payload, payload_len, crc_tables)
-    crcb = _crc_bytes(crc)
-
     j = jnp.arange(max_frame_bytes, dtype=jnp.int32)[None, :]
     L = payload_len[:, None]
     pay = jnp.pad(payload, ((0, 0), (0, max(0, max_frame_bytes - payload.shape[1]))))[
         :, :max_frame_bytes
     ]
+    pay = jnp.where(j < L, pay, 0)  # the affine CRC needs zeros beyond L
+    crc = gf2.crc_device(pay, payload_len, crc_tables)
+    crcb = _crc_bytes(crc)
     # crc byte index for position j is j - L (gathered with clamp)
     crc_idx = jnp.clip(j - L, 0, CRC_LEN - 1)
     crc_at_j = jnp.take_along_axis(crcb, crc_idx, axis=1)

@@ -1,0 +1,37 @@
+"""Full-duplex in-band adaptation: asymmetric links converge to the
+right MCS in each direction (SURVEY.md §3.3/3.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.models import full_duplex
+from gr_dtl_tpu.ops.constellation import ConstellationType as C
+
+
+def test_asymmetric_convergence():
+    cfg = cfgmod.make_full_duplex_config(None, frame_length=10)
+    # A->B very clean (QAM16-capable), B->A noisy (QPSK-range SNR)
+    # TX sample power ~ 52/64 = 0.81 with unit constellations
+    # noise_ba targets ~22 dB pilot SNR -> settles at 8PSK; note the
+    # reference's "normalized" QPSK (x0.5 amplitude) costs 6 dB on the
+    # payload, so near-threshold QPSK frames fail CRC by design.
+    run, tables = full_duplex.build_full_duplex(
+        cfg, noise_ab=0.009, noise_ba=0.09
+    )
+    tables["decision_th"] = 5
+    state = full_duplex.initial_duplex_state(cfg, tables)
+    state, telem = run(state, jax.random.PRNGKey(0), n_rounds=48)
+
+    a_tx = np.asarray(telem["a_tx_cnst"])
+    b_tx = np.asarray(telem["b_tx_cnst"])
+    snr_b = np.asarray(telem["snr_at_b"])
+    # B's decisions about the clean A->B link drive A's TX up the ladder
+    assert a_tx[0] == int(C.BPSK)
+    assert a_tx[-1] == int(C.QAM16), (a_tx, snr_b)
+    # A's decisions about the noisy B->A link cap B's TX
+    assert b_tx[-1] in (int(C.QPSK), int(C.PSK8)), (b_tx, np.asarray(telem["snr_at_a"]))
+    # data keeps flowing at the end in both directions
+    assert np.asarray(telem["b_crc_ok"])[-8:].all()
+    assert np.asarray(telem["a_crc_ok"])[-8:].all()
