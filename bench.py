@@ -59,9 +59,14 @@ def main():
         frames, _ = receiver.detect_and_extract(stream, cfg, B)
         return receiver.rx_frames(rxp, frames)
 
-    # warmup / compile, then warm the device->host transfer path
+    # warmup / compile; result fetch is best-effort (device->host
+    # transfers over the axon tunnel are flaky/UNIMPLEMENTED at times —
+    # throughput timing only needs block_until_ready, which works)
     res = jax.block_until_ready(rx_full(stream))
-    ok = float(jax.jit(lambda r: r.crc_ok.astype(jnp.float32).mean())(res))
+    try:
+        ok = float(jax.jit(lambda r: r.crc_ok.astype(jnp.float32).mean())(res))
+    except Exception:
+        ok = None
 
     iters = 10
     t0 = time.perf_counter()

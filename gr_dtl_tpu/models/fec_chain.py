@@ -1,0 +1,270 @@
+"""FEC transport-block framing: LDPC-coded frames with shortening.
+
+Mirrors the reference's FEC path (SURVEY.md #2, #15, #17-20):
+TX ``ofdm_adaptive_fec_frame_bvb`` + ``tb_encoder`` and RX
+``ofdm_adaptive_fec_decoder`` + ``tb_decoder``, with the same transport
+math:
+
+- codewords per TB: ``ncws = 1 + frame_bits // n`` when the frame is
+  larger than one codeword (``fec_utils.cc:104-112``),
+- the TB payload is split over codewords with balanced shortening
+  ``k'_i = ceil(remaining / cw_left)`` (``tb_encoder.cc:48-52``), which
+  has the closed form ``k'_i = ceil((P - i) / ncws)`` used here,
+- each codeword is transmitted as ``[ncheck check bits | k'_i
+  systematic bits]`` (``tb_encoder.cc:65-70``); shortened systematic
+  bits are never sent and are pinned at +SHORTENED_LLR on decode
+  (``tb_decoder.cc:143-165``),
+- the TB payload carries a CRC32 like the no-FEC framer.
+
+TPU-native design note
+----------------------
+The reference reassembles TBs across frames with a stateful byte-offset
+state machine (``tb_decoder.cc:32-141``).  Here the transport block is
+sized to *exactly fill one frame* (the reference's "small TB
+exclusively transported by the frame" case, ``tb_decoder.cc:79-92``),
+so a batch of frames is a batch of independent TBs: every per-frame
+quantity (bps, ncws, k' schedule, offsets) is computed vectorized, the
+codeword tensor has static shape ``[B, max_ncws, n]`` (unused trailing
+codewords of low-bps frames are masked dummies), and one batched BP
+call decodes everything.  No sequential reassembly state exists to
+carry — which is what lets the whole FEC path live inside a single
+jitted graph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.ops import constellation as cn
+from gr_dtl_tpu.ops import gf2, ldpc, repack
+
+__all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut"]
+
+CRC_LEN_BITS = 32
+
+
+class FecFrameOut(NamedTuple):
+    payload: jax.Array  # [B, max_payload_bytes] decoded user bytes
+    payload_len: jax.Array  # [B] int32 user bytes
+    crc_ok: jax.Array  # [B] bool
+    fec_ok: jax.Array  # [B] bool all real codewords converged
+    avg_iters: jax.Array  # [B] float32 mean BP iterations over real cws
+    tb_payload_len: jax.Array  # [B] bits
+
+
+def build_fec(cfg, H: np.ndarray):
+    """Precompute FEC-chain constants for a config + parity matrix."""
+    code = ldpc.build_ldpc(H)
+    n, k, m = code["N"], code["K"], code["M"]
+    cap_syms = cfg.frame_capacity_symbols
+    max_frame_bits = cap_syms * cn.MAX_BPS
+
+    def ncws_of_bits(frame_bits: int) -> int:
+        return 1 + frame_bits // n if frame_bits > n else 1
+
+    max_ncws = ncws_of_bits(max_frame_bits)
+    # per-bps static tables (bps 0..4)
+    frame_bits_tab = np.array([0] + [cap_syms * b for b in range(1, 5)], np.int32)
+    ncws_tab = np.array(
+        [1] + [ncws_of_bits(int(fb)) for fb in frame_bits_tab[1:]], np.int32
+    )
+    # user payload bits: what's left after check bits, byte-aligned,
+    # minus the CRC32
+    tb_payload_tab = np.zeros(5, np.int32)
+    user_bytes_tab = np.zeros(5, np.int32)
+    for b in range(1, 5):
+        avail = int(frame_bits_tab[b]) - int(ncws_tab[b]) * m
+        user_bytes = avail // 8 - CRC_LEN_BITS // 8
+        assert user_bytes > 0, "frame too small for this code"
+        user_bytes_tab[b] = user_bytes
+        tb_payload_tab[b] = user_bytes * 8 + CRC_LEN_BITS
+
+    max_payload_bytes = int(user_bytes_tab.max())
+    return {
+        "cfg": cfg,
+        "code": code,
+        "n": n, "k": k, "m": m,
+        "max_ncws": max_ncws,
+        "frame_bits_tab": frame_bits_tab,
+        "ncws_tab": ncws_tab,
+        "tb_payload_tab": tb_payload_tab,
+        "user_bytes_tab": user_bytes_tab,
+        "max_payload_bytes": max_payload_bytes,
+        "max_frame_bits": max_frame_bits,
+        "crc_tables": gf2.make_crc_tables(
+            gf2.CRC32_FRAME, max_payload_bytes + CRC_LEN_BITS // 8
+        ),
+    }
+
+
+def _cw_schedule(fec, bps: jax.Array):
+    """Vectorized per-frame codeword schedule.
+
+    Args:
+      bps: [B] int32.
+    Returns dict of [B, max_ncws] arrays: k_prime, cw_start (bit offset
+    of each codeword in the frame), sys_start (bit offset of each cw's
+    systematic bits within the TB payload), real (mask of actual cws).
+    """
+    m = fec["m"]
+    ncws = jnp.asarray(fec["ncws_tab"])[bps]  # [B]
+    P = jnp.asarray(fec["tb_payload_tab"])[bps]  # [B] payload bits
+    i = jnp.arange(fec["max_ncws"], dtype=jnp.int32)[None, :]  # [1, C]
+    real = i < ncws[:, None]
+    # balanced shortening, closed form of tb_encoder.cc:48-52
+    k_prime = jnp.where(real, (P[:, None] - i + ncws[:, None] - 1) // ncws[:, None], 0)
+    sys_start = jnp.cumsum(k_prime, axis=1) - k_prime
+    cw_len = jnp.where(real, k_prime + m, 0)
+    cw_start = jnp.cumsum(cw_len, axis=1) - cw_len
+    return {"k_prime": k_prime, "cw_start": cw_start, "sys_start": sys_start,
+            "real": real, "ncws": ncws, "payload_bits": P}
+
+
+def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
+                    cnst_id: jax.Array):
+    """TX: user bytes -> frame bit stream (LDPC-coded, shortened).
+
+    Args:
+      payload:     [B, max_payload_bytes] uint8 user data (zero beyond
+                   payload_len); the frame is always filled to capacity
+                   (short payloads are zero-padded before the CRC, so
+                   payload_len must equal user_bytes_tab[bps] for full
+                   frames — partial fills carry zeros, like the
+                   reference's PDU padding).
+      payload_len: [B] int32 user bytes.
+      cnst_id:     [B] constellation -> bps.
+    Returns (frame_bits [B, max_frame_bits] int32, tb_payload_len [B]).
+    """
+    code = fec["code"]
+    B = payload.shape[0]
+    m, k, n = fec["m"], fec["k"], fec["n"]
+    bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
+    sched = _cw_schedule(fec, bps)
+
+    # TB payload bits: [payload bytes | crc32], LSB-first bit order
+    pay_padded = jnp.pad(
+        payload, ((0, 0), (0, CRC_LEN_BITS // 8))  # match crc_tables width
+    )
+    crc = gf2.crc_device(pay_padded, payload_len, fec["crc_tables"])
+    pay_bits = repack.bytes_to_bits(payload)  # [B, maxpay*8]
+    crc_bits = ((crc[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1).astype(
+        jnp.int32
+    )
+    maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
+    x = jnp.arange(maxP, dtype=jnp.int32)[None, :]
+    Lbits = payload_len[:, None] * 8
+    crc_idx = jnp.clip(x - Lbits, 0, 31)
+    tb_bits = jnp.where(
+        x < Lbits,
+        jnp.pad(pay_bits, ((0, 0), (0, maxP - pay_bits.shape[1])))[:, :maxP],
+        jnp.where(x < Lbits + 32, jnp.take_along_axis(crc_bits, crc_idx, axis=1), 0),
+    ).astype(jnp.int32)
+
+    # per-cw systematic messages [B, C, K]
+    t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    sys_idx = jnp.clip(sched["sys_start"][:, :, None] + t, 0, maxP - 1)
+    msgs = jnp.take_along_axis(
+        tb_bits[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(B * fec["max_ncws"], maxP),
+        sys_idx.reshape(B * fec["max_ncws"], k),
+        axis=1,
+    ).reshape(B, fec["max_ncws"], k)
+    msgs = jnp.where(t < sched["k_prime"][:, :, None], msgs, 0)
+
+    cws = ldpc.encode(msgs.reshape(-1, k).astype(jnp.float32), code)
+    cws = cws.reshape(B, fec["max_ncws"], n)
+
+    # scatter transmitted bits [ncheck | k'] into the frame bit stream
+    j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    send = (j < m + sched["k_prime"][:, :, None]) & sched["real"][:, :, None]
+    pos = sched["cw_start"][:, :, None] + j
+    maxF = fec["max_frame_bits"]
+    pos = jnp.where(send, pos, maxF)  # parked slot dropped below
+    frame_bits = jnp.zeros((B, maxF + 1), jnp.int32)
+    frame_bits = frame_bits.at[
+        jnp.arange(B)[:, None, None], pos
+    ].set(cws)
+    return frame_bits[:, :maxF], sched["payload_bits"]
+
+
+def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
+                     tb_payload_len: jax.Array | None = None) -> FecFrameOut:
+    """RX: per-frame LLR stream -> decoded user bytes.
+
+    Args:
+      llrs:    [B, max_frame_bits] float32 LLRs in frame bit order
+               (LLR > 0 <=> bit 0); entries beyond the frame's real bit
+               count are ignored.
+      cnst_id: [B] constellation used by each frame.
+      tb_payload_len: [B] bits from the header's fec_tb_payload field;
+               defaults to the full-frame value for the bps.
+    """
+    code = fec["code"]
+    B = llrs.shape[0]
+    m, k, n = fec["m"], fec["k"], fec["n"]
+    bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
+    sched = _cw_schedule(fec, bps)
+
+    # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
+    j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    sent = j < m + sched["k_prime"][:, :, None]
+    pos = jnp.clip(sched["cw_start"][:, :, None] + j, 0, llrs.shape[1] - 1)
+    cw_llrs = jnp.take_along_axis(
+        llrs[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(B * fec["max_ncws"], -1),
+        pos.reshape(B * fec["max_ncws"], n),
+        axis=1,
+    ).reshape(B, fec["max_ncws"], n)
+    cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
+
+    bits, iters, ok = ldpc.decode(
+        cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
+    )
+    bits = bits.reshape(B, fec["max_ncws"], n)
+    iters = iters.reshape(B, fec["max_ncws"])
+    ok = ok.reshape(B, fec["max_ncws"])
+
+    real = sched["real"]
+    fec_ok = jnp.all(ok | ~real, axis=1)
+    n_real = jnp.sum(real, axis=1)
+    avg_iters = jnp.sum(jnp.where(real, iters, 0), axis=1) / jnp.maximum(n_real, 1)
+
+    # reassemble TB payload bits from systematic parts
+    maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
+    t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
+    dst = jnp.where(take, sched["sys_start"][:, :, None] + t, maxP)
+    tb_bits = jnp.zeros((B, maxP + 1), jnp.int32)
+    tb_bits = tb_bits.at[jnp.arange(B)[:, None, None], dst].set(bits[:, :, m:])
+    tb_bits = tb_bits[:, :maxP]
+
+    P = tb_payload_len if tb_payload_len is not None else sched["payload_bits"]
+    user_bytes = (P - CRC_LEN_BITS) // 8
+    all_bytes = repack.bits_to_bytes(tb_bits)  # [B, maxP/8]
+    xb = jnp.arange(all_bytes.shape[1], dtype=jnp.int32)[None, :]
+    payload = jnp.where(xb < user_bytes[:, None], all_bytes, 0)
+    crc = gf2.crc_device(payload, user_bytes, fec["crc_tables"])
+    # received crc: 4 bytes at user_bytes offset
+    crc_idx = jnp.clip(xb - user_bytes[:, None], 0, 3)
+    crcb = ((crc[:, None] >> (jnp.arange(4, dtype=jnp.uint32) * 8)) & 0xFF).astype(
+        jnp.uint8
+    )
+    want = jnp.where(
+        (xb >= user_bytes[:, None]) & (xb < user_bytes[:, None] + 4),
+        jnp.take_along_axis(crcb, crc_idx, axis=1), 0,
+    )
+    got = jnp.where(
+        (xb >= user_bytes[:, None]) & (xb < user_bytes[:, None] + 4), all_bytes, 0
+    )
+    crc_ok = jnp.all(got == want, axis=1)
+
+    return FecFrameOut(
+        payload=payload[:, : fec["max_payload_bytes"]],
+        payload_len=user_bytes,
+        crc_ok=crc_ok & fec_ok,
+        fec_ok=fec_ok,
+        avg_iters=avg_iters.astype(jnp.float32),
+        tb_payload_len=P,
+    )
