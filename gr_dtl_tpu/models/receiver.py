@@ -42,9 +42,15 @@ class RxOut(NamedTuple):
     noise_var: jax.Array  # [B] float32
     carr_offset: jax.Array  # [B] int32
     soft_syms: jax.Array  # [B, frame_capacity_symbols] equalized payload symbols
+    fec_ok: jax.Array  # [B] bool (True when no FEC)
+    avg_iters: jax.Array  # [B] float32 mean BP iterations (0 when no FEC)
 
 
-def build_rx(cfg):
+def build_rx(cfg, fec=None):
+    """Precompute RX constants.  Pass ``fec`` (fec_chain.build_fec) to
+    enable the LDPC transport-block path."""
+    if cfg.fec and fec is None:
+        raise ValueError("cfg.fec=True requires a fec table (fec_chain.build_fec)")
     return {
         "cfg": cfg,
         "alloc": ofdm.build_allocator(cfg),
@@ -52,6 +58,7 @@ def build_rx(cfg):
         "eq": equalizer.build_equalizer(cfg),
         "crc_tables": gf2.make_crc_tables(gf2.CRC32_FRAME, cfg.max_frame_bytes()),
         "has_fec": cfg.fec,
+        "fec": fec,
     }
 
 
@@ -127,14 +134,42 @@ def rx_frames(rxp, frames: jax.Array,
         pay_spec, hdr_eq.taps, cnst, rxp["eq"], sym_offset=hs
     )
     soft = pay_eq.soft[:, :, occ].reshape(B, cfg.frame_capacity_symbols)
-    dec = cn.hard_decision(soft, cnst[:, None])
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst]
-    frame_bytes = repack.symbols_to_bytes(dec, bps, cfg.max_frame_bytes())
 
-    payload, payload_len, crc_ok = framing.verify_frame_bytes(
-        frame_bytes, fields.payload_len, rxp["crc_tables"]
-    )
-    crc_ok = crc_ok & header_ok
+    if rxp["has_fec"]:
+        # soft demap -> per-frame LLR bit stream -> TB decode
+        # (ref constellation_soft_cf + fec_decoder path)
+        from gr_dtl_tpu.models import fec_chain
+
+        llr_bits = cn.soft_llrs(soft, cnst[:, None], pay_eq.noise_var[:, None])
+        S = cfg.frame_capacity_symbols
+        maxF = rxp["fec"]["max_frame_bits"]
+        x = jnp.arange(maxF, dtype=jnp.int32)[None, :]
+        sym = x // bps[:, None]
+        t = x - sym * bps[:, None]
+        valid = sym < S
+        sym = jnp.clip(sym, 0, S - 1)
+        flat = llr_bits.reshape(B, -1)  # [B, S*4]
+        llrs = jnp.take_along_axis(flat, sym * cn.MAX_BPS + t, axis=1)
+        llrs = jnp.where(valid, llrs, 0.0)
+        # header-announced TB payload length, gated on header CRC
+        default_P = jnp.asarray(rxp["fec"]["tb_payload_tab"])[bps]
+        P = jnp.where(header_ok, fields.tb_payload, default_P)
+        fec_out = fec_chain.fec_frame_decode(rxp["fec"], llrs, cnst, P)
+        payload = fec_out.payload
+        payload_len = fec_out.payload_len
+        crc_ok = fec_out.crc_ok & header_ok
+        fec_ok = fec_out.fec_ok
+        avg_iters = fec_out.avg_iters
+    else:
+        dec = cn.hard_decision(soft, cnst[:, None])
+        frame_bytes = repack.symbols_to_bytes(dec, bps, cfg.max_frame_bytes())
+        payload, payload_len, crc_ok = framing.verify_frame_bytes(
+            frame_bytes, fields.payload_len, rxp["crc_tables"]
+        )
+        crc_ok = crc_ok & header_ok
+        fec_ok = jnp.ones((B,), bool)
+        avg_iters = jnp.zeros((B,), jnp.float32)
 
     return RxOut(
         payload=payload,
@@ -148,4 +183,6 @@ def rx_frames(rxp, frames: jax.Array,
         noise_var=pay_eq.noise_var,
         carr_offset=carr_off,
         soft_syms=soft,
+        fec_ok=fec_ok,
+        avg_iters=avg_iters,
     )

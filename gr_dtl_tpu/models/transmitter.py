@@ -31,13 +31,21 @@ class TxOut(NamedTuple):
     l_total: jax.Array  # [B] header payload-length field
 
 
-def build_tx(cfg):
-    """Precompute all TX constants for a config."""
+def build_tx(cfg, fec=None):
+    """Precompute all TX constants for a config.
+
+    Args:
+      fec: optional dict from models.fec_chain.build_fec — enables the
+           LDPC transport-block path (long header, coded frames).
+    """
+    if cfg.fec and fec is None:
+        raise ValueError("cfg.fec=True requires a fec table (fec_chain.build_fec)")
     return {
         "cfg": cfg,
         "alloc": ofdm.build_allocator(cfg),
         "crc_tables": gf2.make_crc_tables(gf2.CRC32_FRAME, cfg.max_frame_bytes()),
         "has_fec": cfg.fec,
+        "fec": fec,
     }
 
 
@@ -59,28 +67,53 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
     """
     cfg = txp["cfg"]
     B = payload.shape[0]
-
-    frame, l_total = framing.build_frame_bytes(
-        payload, payload_len, key, cfg.max_frame_bytes(), txp["crc_tables"]
-    )
-
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
     n_payload_syms = cfg.frame_capacity_symbols
+
+    if txp["has_fec"]:
+        # LDPC transport-block path (ref ofdm_adaptive_fec_frame_bvb):
+        # one TB fills the frame; long header carries the FEC fields.
+        from gr_dtl_tpu.models import fec_chain
+
+        frame_bits, tb_payload = fec_chain.fec_frame_build(
+            txp["fec"], payload, payload_len, cnst_id
+        )
+        frame = repack.bits_to_bytes(frame_bits.astype(jnp.uint8))
+        l_total = payload_len + framing.CRC_LEN
+        fields = header.HeaderFields(
+            payload_len=jnp.zeros((B,), jnp.int32),
+            frame_no=frame_no,
+            cnst_id=cnst_id,
+            feedback_cnst=feedback_cnst,
+            tb_no=frame_no,  # one TB per frame
+            fec_feedback=jnp.zeros((B,), jnp.int32),
+            # small-TB-in-frame signal: offset == frame payload bits
+            # (ref tb_decoder.cc:79-82), clipped to the 12-bit field
+            tb_offset=jnp.minimum(
+                n_payload_syms * bps.astype(jnp.int32), 0xFFF
+            ),
+            fec_scheme=jnp.ones((B,), jnp.int32),
+            tb_payload=tb_payload,
+        )
+    else:
+        frame, l_total = framing.build_frame_bytes(
+            payload, payload_len, key, cfg.max_frame_bytes(), txp["crc_tables"]
+        )
+        fields = header.HeaderFields(
+            payload_len=l_total,
+            frame_no=frame_no,
+            cnst_id=cnst_id,
+            feedback_cnst=feedback_cnst,
+            tb_no=jnp.zeros((B,), jnp.int32),
+            fec_feedback=jnp.zeros((B,), jnp.int32),
+            tb_offset=jnp.zeros((B,), jnp.int32),
+            fec_scheme=jnp.zeros((B,), jnp.int32),
+            tb_payload=jnp.zeros((B,), jnp.int32),
+        )
+
     sym_idx = repack.bytes_to_symbols(frame, bps, n_payload_syms)
     payload_pts = cn.map_symbols(sym_idx, cnst_id[:, None])  # [B, S]
     payload_grid = payload_pts.reshape(B, cfg.frame_length, cfg.n_data_carriers)
-
-    fields = header.HeaderFields(
-        payload_len=l_total,
-        frame_no=frame_no,
-        cnst_id=cnst_id,
-        feedback_cnst=feedback_cnst,
-        tb_no=jnp.zeros((B,), jnp.int32),
-        fec_feedback=jnp.zeros((B,), jnp.int32),
-        tb_offset=jnp.zeros((B,), jnp.int32),
-        fec_scheme=jnp.zeros((B,), jnp.int32),
-        tb_payload=jnp.zeros((B,), jnp.int32),
-    )
     hbits = header.format_header(fields, txp["has_fec"])  # [B, 48*hs]
     # BPSK map: bit b -> points[BPSK][b]
     hpts = cn.map_symbols(
