@@ -51,13 +51,20 @@ def main():
     for i in range(B):
         plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
         payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
-    out = transmitter.tx_frames(
-        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
-        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
-        jax.random.PRNGKey(0),
+    # keep every stage jitted: on the axon tunnel each *eager* op is a
+    # host round trip, which turns the eager TX into minutes of dispatch
+    @jax.jit
+    def make_stream(payload, plen, cnst, frame_no, key):
+        out = transmitter.tx_frames(
+            txp, payload, plen, cnst,
+            jnp.zeros(B, jnp.int32), frame_no, key,
+        )
+        return channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1), 0.02)
+
+    stream = make_stream(
+        jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.arange(B, dtype=jnp.int32) % 4096, jax.random.PRNGKey(0),
     )
-    # ~30 dB SNR
-    stream = channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1), 0.02)
 
     detect = jax.jit(lambda s: receiver.detect_and_extract(s, cfg, B))
     demod = jax.jit(lambda f: receiver.rx_frames(rxp, f))
