@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""CLI modem runner — the app layer (the reference's grc_run + example
+flowgraphs analog, SURVEY.md #45-49).
+
+Modes:
+  loopback     TX -> AWGN(+CFO) channel -> RX over a frame batch
+               (ofdm_adaptive_example.grc analog), optional LDPC FEC
+  full-duplex  two nodes, in-band MCS adaptation session
+  simplex      OFDM forward + feedback-burst reverse session
+
+Examples:
+  run_modem.py loopback --config examples/config.json --frames 64 --snr-db 25
+  run_modem.py loopback --config examples/config_fec.json --snr-db 8 --mcs-id 0
+  run_modem.py full-duplex --rounds 48 --snr-db 30 --snr-db-reverse 22
+  run_modem.py simplex --rounds 40 --snr-db 22
+  ... [--store-tx tx.dat --store-rx rx.dat] [--zmq tcp://*:5550] [--json]
+
+Writes reference-format frame stores scoreable by tools/ber.py, and
+publishes equalizer telemetry over ZMQ when --zmq is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _cpu():
+    import jax
+
+    if os.environ.get("RUN_MODEM_TPU", "0") != "1":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def run_loopback(args):
+    jax = _cpu()
+    import jax.numpy as jnp
+
+    from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
+    from gr_dtl_tpu.ops import channel, constellation as cn
+    from gr_dtl_tpu.models import fec_chain, receiver, transmitter
+
+    cfg = cfgmod.make_tx_config(args.config, frame_length=args.frame_length)
+    rxcfg = cfgmod.make_rx_config(args.config, frame_length=args.frame_length)
+    fec = None
+    if cfg.fec:
+        name, path = cfg.fec_codes[0]
+        fec = fec_chain.build_fec(cfg, alist_mod.load_alist(path))
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(rxcfg, fec)
+
+    B = args.frames
+    rng = np.random.RandomState(args.seed)
+    if args.mcs_id is not None and not (0 <= args.mcs_id < len(cfg.mcs)):
+        sys.exit(f"error: --mcs-id must be 0..{len(cfg.mcs) - 1} for this config")
+    cnst_id = int(cfg.mcs[args.mcs_id][1][0]) if args.mcs_id is not None else 2
+    cnst = np.full(B, cnst_id, np.int32)
+    if fec is not None:
+        maxb = fec["max_payload_bytes"]
+        plen = np.full(B, int(fec["user_bytes_tab"][int(cn.BITS_PER_SYMBOL[cnst_id])]),
+                       np.int32)
+    else:
+        maxb = cfg.max_frame_bytes()
+        plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4,
+                       np.int32)
+    payload = np.zeros((B, maxb), np.uint8)
+    for i in range(B):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+        jax.random.PRNGKey(args.seed),
+    )
+    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
+    noise_v = float(np.sqrt(sig / 10 ** (args.snr_db / 10)))
+    stream = jnp.concatenate(
+        [jnp.zeros(517, jnp.complex64), out.samples.reshape(-1),
+         jnp.zeros(400, jnp.complex64)]
+    )
+    stream = channel.channel_model(
+        jax.random.PRNGKey(args.seed + 1), stream,
+        noise_voltage=noise_v, freq_offset=args.cfo, fft_len=cfg.fft_len,
+    )
+    frames, eps = receiver.detect_and_extract(stream, rxcfg, B)
+    rx = receiver.rx_frames(rxp, frames)
+
+    res = _summarize(rx, B)
+    res["mode"] = "loopback"
+    res["snr_cfg_db"] = args.snr_db
+    res["cfo"] = args.cfo
+    _stores_and_telemetry(args, out, rx, cfg)
+    _report(args, res)
+
+
+def run_full_duplex(args):
+    jax = _cpu()
+    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.models import full_duplex
+
+    cfg = cfgmod.make_full_duplex_config(args.config, frame_length=args.frame_length)
+    # convert SNRs to noise voltages against unit-ish signal power (~0.81)
+    nv = lambda snr: float(np.sqrt(0.81 / 10 ** (snr / 10)))
+    run, tables = full_duplex.build_full_duplex(
+        cfg, noise_ab=nv(args.snr_db), noise_ba=nv(args.snr_db_reverse)
+    )
+    state = full_duplex.initial_duplex_state(cfg, tables)
+    state, telem = run(state, jax.random.PRNGKey(args.seed), n_rounds=args.rounds)
+    res = {
+        "mode": "full-duplex",
+        "rounds": args.rounds,
+        "a_tx_cnst_final": int(np.asarray(telem["a_tx_cnst"])[-1]),
+        "b_tx_cnst_final": int(np.asarray(telem["b_tx_cnst"])[-1]),
+        "a_crc_rate": float(np.asarray(telem["a_crc_ok"]).mean()),
+        "b_crc_rate": float(np.asarray(telem["b_crc_ok"]).mean()),
+        "snr_at_a_db": float(np.asarray(telem["snr_at_a"])[-8:].mean()),
+        "snr_at_b_db": float(np.asarray(telem["snr_at_b"])[-8:].mean()),
+    }
+    _report(args, res)
+
+
+def run_simplex(args):
+    jax = _cpu()
+    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.models import simplex
+
+    cfg = cfgmod.make_tx_config(args.config, frame_length=args.frame_length)
+    nv = lambda snr: float(np.sqrt(0.81 / 10 ** (snr / 10)))
+    run, tables = simplex.build_simplex(
+        cfg, noise_fwd=nv(args.snr_db), noise_rev=nv(args.snr_db_reverse)
+    )
+    state = simplex.initial_simplex_state(cfg, tables)
+    state, telem = run(state, jax.random.PRNGKey(args.seed), n_rounds=args.rounds)
+    res = {
+        "mode": "simplex",
+        "rounds": args.rounds,
+        "tx_cnst_final": int(np.asarray(telem["tx_cnst"])[-1]),
+        "crc_rate": float(np.asarray(telem["crc_ok"]).mean()),
+        "burst_ok_rate": float(np.asarray(telem["burst_ok"]).mean()),
+        "snr_db": float(np.asarray(telem["snr_db"])[-8:].mean()),
+    }
+    _report(args, res)
+
+
+def _summarize(rx, B):
+    from gr_dtl_tpu.ops import metrics
+
+    n_lost, n_total, lost_rate = metrics.lost_frames(rx.frame_no, rx.header_ok)
+    return {
+        "frames": B,
+        "header_ok_rate": float(np.asarray(rx.header_ok).mean()),
+        "crc_ok_rate": float(np.asarray(rx.crc_ok).mean()),
+        "est_snr_db": float(np.asarray(rx.snr_db).mean()),
+        "lost_frame_rate": float(lost_rate),
+        "carr_offset": int(np.asarray(rx.carr_offset)[0]),
+    }
+
+
+def _stores_and_telemetry(args, tx_out, rx, cfg):
+    if args.store_tx:
+        from gr_dtl_tpu.testbed.frame_store import FrameStore
+
+        class TxView:
+            payload = np.asarray(tx_out.frame_bytes)
+            payload_len = np.asarray(tx_out.l_total) - 4
+            frame_no = np.arange(len(payload_len)) % 4096
+
+        with FrameStore(args.store_tx) as s:
+            s.store_batch(TxView())
+    if args.store_rx:
+        from gr_dtl_tpu.testbed.frame_store import FrameStore
+
+        with FrameStore(args.store_rx) as s:
+            s.store_batch(rx)
+    if args.zmq:
+        from gr_dtl_tpu.testbed import monitor
+
+        probe = monitor.MonitorProbe(args.zmq)
+        builder = monitor.MonitorProto(monitor.EQ_MSG)
+        for msg in monitor.eq_messages(rx):
+            probe.send(builder.build(msg))
+        probe.close()
+
+
+def _report(args, res):
+    if args.json:
+        print(json.dumps(res))
+    else:
+        for k, v in res.items():
+            print(f"{k}: {v}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("mode", choices=["loopback", "full-duplex", "simplex"])
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--rounds", type=int, default=32)
+    p.add_argument("--frame-length", type=int, default=20)
+    p.add_argument("--snr-db", type=float, default=30.0)
+    p.add_argument("--snr-db-reverse", type=float, default=25.0)
+    p.add_argument("--cfo", type=float, default=0.0,
+                   help="carrier offset in subcarrier units")
+    p.add_argument("--mcs-id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--store-tx", default=None)
+    p.add_argument("--store-rx", default=None)
+    p.add_argument("--zmq", default=None)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+    {"loopback": run_loopback, "full-duplex": run_full_duplex,
+     "simplex": run_simplex}[args.mode](args)
+
+
+if __name__ == "__main__":
+    main()
