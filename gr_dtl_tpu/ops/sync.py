@@ -66,30 +66,50 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     return P, M
 
 
-def fold_detect(M: jax.Array, frame_samples: int) -> jax.Array:
+def fold_detect(M: jax.Array, frame_samples: int, cp_len: int = 16) -> jax.Array:
     """Find the common trigger phase by folding the metric over the period.
 
     Every frame in the stream votes for its start offset mod
-    frame_samples; the stream's frame phase is the argmax of the folded
-    sum.  Replaces the reference's lock-acquisition logic
+    frame_samples; the phase is located with a *circular* boxcar match
+    over the folded sum: the metric plateau is cp_len+1 wide and wraps
+    around the fold boundary, and a raw argmax can lock onto the rising
+    edge on the wrong side of the wrap (which would make time-sharded
+    blocks decode their neighbour's frame through the halo).  The
+    best cp-length circular window localizes the plateau; its center is
+    returned.  Replaces the reference's lock-acquisition logic
     (frame_detect_bb: 3 consecutive synced triggers to lock) with a
     batch vote that uses *all* frames at once.
 
     Args:
       M: [N'] timing metric.
-    Returns scalar int32 offset in [0, frame_samples).
+    Returns scalar int32 plateau-center offset in [0, frame_samples).
     """
     n_full = M.shape[-1] // frame_samples
     folded = jnp.sum(
         M[..., : n_full * frame_samples].reshape(*M.shape[:-1], n_full, frame_samples),
         axis=-2,
     )
-    return jnp.argmax(folded, axis=-1).astype(jnp.int32)
+    return phase_from_folded(folded, frame_samples, cp_len)
+
+
+def phase_from_folded(folded: jax.Array, frame_samples: int,
+                      cp_len: int = 16) -> jax.Array:
+    """Circular plateau-center localization on a folded metric vote.
+
+    Shared by :func:`fold_detect` and the sharded receiver (which folds
+    locally and psums the vote across time shards before calling this).
+    """
+    k = cp_len + 1
+    ext = jnp.concatenate([folded, folded[..., : k - 1]], axis=-1)
+    win = _moving_sum(ext, k)  # [frame_samples] circular window sums
+    start = jnp.argmax(win, axis=-1)
+    return ((start + k // 2) % frame_samples).astype(jnp.int32)
 
 
 def frame_triggers(M: jax.Array, phase: jax.Array, frame_samples: int,
                    n_frames: int, search: int = 24) -> jax.Array:
-    """Per-frame trigger refinement around the folded phase.
+    """Per-frame trigger refinement around the folded phase (mod-period:
+    a phase near the period boundary searches across it).
 
     The Schmidl-Cox metric has a flat plateau of cp_len+1 samples over
     [frame_start, frame_start+cp]; a raw argmax lands anywhere on it

@@ -61,7 +61,10 @@ def build_sharded_rx(cfg, mesh, frames_per_block: int):
             M[: n_full * frame_samples].reshape(n_full, frame_samples), axis=0
         )
         folded = jax.lax.psum(folded, "time")
-        phase = jnp.argmax(folded, axis=-1).astype(jnp.int32)
+        # circular plateau-center vote (a raw argmax can land on the
+        # wrap edge and make every block decode its neighbour's frame
+        # through the halo)
+        phase = sync.phase_from_folded(folded, frame_samples, cfg.cp_len)
         trig = sync.frame_triggers(M, phase, frame_samples, frames_per_block)
         eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
         offs = jnp.arange(frame_samples, dtype=jnp.int32)

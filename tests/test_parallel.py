@@ -56,3 +56,24 @@ def test_sharded_rx_matches_reference_path():
     frames = streams[0].reshape(frames_per_stream, cfg.frame_samples)
     ref = receiver.rx_frames(rxp, frames)
     np.testing.assert_array_equal(np.asarray(ref.payload), payload[0])
+
+
+def test_64_streams_pod_config():
+    """BASELINE config 5: 64 parallel adaptive-OFDM streams sharded over
+    a (stream x time) mesh with halo exchange, mixed MCS per frame."""
+    assert jax.device_count() >= 8
+    cfg = cfgmod.make_rx_config(None, frame_length=4)
+    m = meshmod.make_mesh(n_stream=4, n_time=2)
+    n_streams, fpb, n_blocks = 64, 1, 2
+    frames_per_stream = fpb * n_blocks
+
+    streams, payload, cnst = _tx_streams(cfg, n_streams, frames_per_stream, seed=11)
+    sig = float(jnp.mean(jnp.abs(streams) ** 2))
+    streams = channel.awgn(jax.random.PRNGKey(12), streams, np.sqrt(sig / 10 ** 3))
+
+    fn, rxp = pstream.build_sharded_rx(cfg, m, frames_per_block=fpb)
+    out = fn(streams)
+    crc_ok = np.asarray(out.crc_ok)
+    assert crc_ok.shape == (n_streams, frames_per_stream)
+    assert crc_ok.all(), f"failures: {np.argwhere(~crc_ok)}"
+    np.testing.assert_array_equal(np.asarray(out.payload), payload)
