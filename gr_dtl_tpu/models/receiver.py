@@ -164,6 +164,10 @@ def rx_frames(rxp, frames: jax.Array,
     else:
         dec = cn.hard_decision(soft, cnst[:, None])
         frame_bytes = repack.symbols_to_bytes(dec, bps, cfg.max_frame_bytes())
+        if cfg.scramble_bits:
+            from gr_dtl_tpu.ops import scramble
+
+            frame_bytes = scramble.scramble_frames(frame_bytes)
         payload, payload_len, crc_ok = framing.verify_frame_bytes(
             frame_bytes, fields.payload_len, rxp["crc_tables"]
         )

@@ -99,6 +99,12 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
         frame, l_total = framing.build_frame_bytes(
             payload, payload_len, key, cfg.max_frame_bytes(), txp["crc_tables"]
         )
+        if cfg.scramble_bits:
+            # additive scrambler over the framed bytes (ref
+            # additive_scrambler_bb 0x8a/0x7f/7, per-frame reset)
+            from gr_dtl_tpu.ops import scramble
+
+            frame = scramble.scramble_frames(frame)
         fields = header.HeaderFields(
             payload_len=l_total,
             frame_no=frame_no,

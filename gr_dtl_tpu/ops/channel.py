@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["awgn", "apply_cfo", "fir_channel", "channel_model"]
+__all__ = ["awgn", "apply_cfo", "fir_channel", "channel_model",
+           "selective_fading"]
 
 
 def awgn(key: jax.Array, x: jax.Array, noise_voltage: float | jax.Array) -> jax.Array:
@@ -54,3 +55,50 @@ def channel_model(key: jax.Array, x: jax.Array, *, noise_voltage=0.0,
     y = fir_channel(x, jnp.asarray(taps, jnp.complex64))
     y = apply_cfo(y, freq_offset, fft_len)
     return awgn(key, y, noise_voltage)
+
+
+def selective_fading(key: jax.Array, x: jax.Array, *,
+                     delays=(0, 3, 7), powers_db=(0.0, -3.0, -6.0),
+                     doppler_norm: float = 1e-4,
+                     n_sinusoids: int = 8) -> jax.Array:
+    """Time-varying Rayleigh frequency-selective fading.
+
+    The analog of the reference's test channel
+    ``channels.selective_fading_model2`` (SURVEY.md §2e): each discrete
+    delay tap fades independently with a Jakes-like sum-of-sinusoids
+    process; the taps are then applied as a time-varying FIR.
+
+    Args:
+      x:            [N] complex stream.
+      delays:       integer tap delays in samples.
+      powers_db:    average power per tap (normalized internally).
+      doppler_norm: max Doppler as a fraction of the sample rate
+                    (f_d / f_s); 1e-4 at 64-sample symbols means the
+                    channel decorrelates over ~100 OFDM symbols.
+      n_sinusoids:  sinusoids per tap for the Jakes sum.
+    """
+    n = x.shape[-1]
+    p = 10.0 ** (jnp.asarray(powers_db, jnp.float32) / 10.0)
+    p = p / jnp.sum(p)
+    t = jnp.arange(n, dtype=jnp.float32)
+
+    keys = jax.random.split(key, 3)
+    L = len(delays)
+    alpha = jax.random.uniform(keys[0], (L, n_sinusoids), minval=0.0,
+                               maxval=2 * jnp.pi)
+    phi = jax.random.uniform(keys[1], (L, n_sinusoids), minval=0.0,
+                             maxval=2 * jnp.pi)
+    psi = jax.random.uniform(keys[2], (L, n_sinusoids), minval=0.0,
+                             maxval=2 * jnp.pi)
+    # h_l(t) = sqrt(p_l / K) sum_k exp(i(2 pi f_d cos(a_k) t + phi_k))
+    # with a quadrature component for proper Rayleigh statistics
+    w = 2 * jnp.pi * doppler_norm * jnp.cos(alpha)  # [L, K]
+    ang = w[:, :, None] * t[None, None, :]  # [L, K, N]
+    h = (jnp.cos(ang + phi[:, :, None]) + 1j * jnp.cos(ang + psi[:, :, None]))
+    h = jnp.sum(h, axis=1) * jnp.sqrt(p[:, None] / (2 * n_sinusoids))  # [L, N]
+
+    y = jnp.zeros_like(x)
+    for i, d in enumerate(delays):
+        xd = jnp.concatenate([jnp.zeros(d, x.dtype), x[: n - d]]) if d else x
+        y = y + h[i] * xd
+    return y
