@@ -56,30 +56,42 @@ class FecFrameOut(NamedTuple):
     tb_payload_len: jax.Array  # [B] bits
 
 
-def build_fec(cfg, H: np.ndarray):
-    """Precompute FEC-chain constants for a config + parity matrix."""
+def build_fec(cfg, H: np.ndarray, tb_frames: int = 1):
+    """Precompute FEC-chain constants for a config + parity matrix.
+
+    Args:
+      tb_frames: frames per transport block (W).  W = 1 reproduces the
+        reference's small-TB-per-frame case; W > 1 gives the reference's
+        multi-frame TBs (tb_decoder.cc reassembly across frames), here
+        with TBs aligned to W-frame groups so the whole group decodes in
+        one static-shape batch.  All tables below are *group*-level.
+    """
     code = ldpc.build_ldpc(H)
     n, k, m = code["N"], code["K"], code["M"]
     cap_syms = cfg.frame_capacity_symbols
+    W = int(tb_frames)
     max_frame_bits = cap_syms * cn.MAX_BPS
+    max_group_bits = W * max_frame_bits
 
-    def ncws_of_bits(frame_bits: int) -> int:
-        return 1 + frame_bits // n if frame_bits > n else 1
+    def ncws_of_bits(nbits: int) -> int:
+        return 1 + nbits // n if nbits > n else 1
 
-    max_ncws = ncws_of_bits(max_frame_bits)
-    # per-bps static tables (bps 0..4)
+    max_ncws = ncws_of_bits(max_group_bits)
+    # per-bps static tables (bps 0..4); frame_bits per single frame,
+    # everything else per W-frame group
     frame_bits_tab = np.array([0] + [cap_syms * b for b in range(1, 5)], np.int32)
+    group_bits_tab = W * frame_bits_tab
     ncws_tab = np.array(
-        [1] + [ncws_of_bits(int(fb)) for fb in frame_bits_tab[1:]], np.int32
+        [1] + [ncws_of_bits(int(gb)) for gb in group_bits_tab[1:]], np.int32
     )
     # user payload bits: what's left after check bits, byte-aligned,
     # minus the CRC32
     tb_payload_tab = np.zeros(5, np.int32)
     user_bytes_tab = np.zeros(5, np.int32)
     for b in range(1, 5):
-        avail = int(frame_bits_tab[b]) - int(ncws_tab[b]) * m
+        avail = int(group_bits_tab[b]) - int(ncws_tab[b]) * m
         user_bytes = avail // 8 - CRC_LEN_BITS // 8
-        assert user_bytes > 0, "frame too small for this code"
+        assert user_bytes > 0, "frame group too small for this code"
         user_bytes_tab[b] = user_bytes
         tb_payload_tab[b] = user_bytes * 8 + CRC_LEN_BITS
 
@@ -88,13 +100,16 @@ def build_fec(cfg, H: np.ndarray):
         "cfg": cfg,
         "code": code,
         "n": n, "k": k, "m": m,
+        "W": W,
         "max_ncws": max_ncws,
         "frame_bits_tab": frame_bits_tab,
+        "group_bits_tab": group_bits_tab,
         "ncws_tab": ncws_tab,
         "tb_payload_tab": tb_payload_tab,
         "user_bytes_tab": user_bytes_tab,
         "max_payload_bytes": max_payload_bytes,
         "max_frame_bits": max_frame_bits,
+        "max_group_bits": max_group_bits,
         "crc_tables": gf2.make_crc_tables(
             gf2.CRC32_FRAME, max_payload_bytes + CRC_LEN_BITS // 8
         ),
@@ -136,11 +151,23 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
                    frames — partial fills carry zeros, like the
                    reference's PDU padding).
       payload_len: [B] int32 user bytes.
-      cnst_id:     [B] constellation -> bps.
+      cnst_id:     [B] constellation -> bps.  With W = tb_frames > 1,
+                   rows are grouped W at a time: the group payload comes
+                   from row g*W (other rows ignored) and the group's
+                   constellation from cnst_id[g*W] (must be uniform
+                   within a group, like the reference which switches
+                   MCS only between TBs).
     Returns (frame_bits [B, max_frame_bits] int32, tb_payload_len [B]).
     """
     code = fec["code"]
+    W = fec["W"]
     B = payload.shape[0]
+    assert B % W == 0, "batch must be a multiple of tb_frames"
+    if W > 1:
+        payload = payload[::W]
+        payload_len = payload_len[::W]
+        cnst_id = cnst_id[::W]
+        B = payload.shape[0]  # group count from here on
     m, k, n = fec["m"], fec["k"], fec["n"]
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
     sched = _cw_schedule(fec, bps)
@@ -177,17 +204,35 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
     cws = ldpc.encode(msgs.reshape(-1, k).astype(jnp.float32), code)
     cws = cws.reshape(B, fec["max_ncws"], n)
 
-    # scatter transmitted bits [ncheck | k'] into the frame bit stream
+    # scatter transmitted bits [ncheck | k'] into the group bit stream
+    G = payload.shape[0]
     j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
     send = (j < m + sched["k_prime"][:, :, None]) & sched["real"][:, :, None]
     pos = sched["cw_start"][:, :, None] + j
-    maxF = fec["max_frame_bits"]
-    pos = jnp.where(send, pos, maxF)  # parked slot dropped below
-    frame_bits = jnp.zeros((B, maxF + 1), jnp.int32)
-    frame_bits = frame_bits.at[
-        jnp.arange(B)[:, None, None], pos
+    maxG = fec["max_group_bits"]
+    pos = jnp.where(send, pos, maxG)  # parked slot dropped below
+    group_bits = jnp.zeros((G, maxG + 1), jnp.int32)
+    group_bits = group_bits.at[
+        jnp.arange(G)[:, None, None], pos
     ].set(cws)
-    return frame_bits[:, :maxF], sched["payload_bits"]
+    group_bits = group_bits[:, :maxG]
+    if W == 1:
+        return group_bits, sched["payload_bits"]
+    # split the group stream into W per-frame streams: frame f of group
+    # g carries group bits [f*fb, (f+1)*fb) with fb = cap*bps (dynamic)
+    maxF = fec["max_frame_bits"]
+    fb = jnp.asarray(fec["frame_bits_tab"])[bps]  # [G]
+    f = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    x = jnp.arange(maxF, dtype=jnp.int32)[None, None, :]
+    src = f * fb[:, None, None] + x
+    ok = jnp.broadcast_to(x < fb[:, None, None], (G, W, maxF))
+    src = jnp.clip(src, 0, maxG - 1)
+    frame_bits = jnp.take_along_axis(
+        group_bits[:, None, :].repeat(W, axis=1).reshape(G * W, maxG),
+        src.reshape(G * W, maxF), axis=1)
+    frame_bits = jnp.where(ok.reshape(G * W, maxF), frame_bits, 0)
+    tb_payload = jnp.repeat(sched["payload_bits"], W)
+    return frame_bits, tb_payload
 
 
 def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
@@ -203,28 +248,51 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
                defaults to the full-frame value for the bps.
     """
     code = fec["code"]
+    W = fec["W"]
     B = llrs.shape[0]
+    assert B % W == 0, "batch must be a multiple of tb_frames"
+    if W > 1:
+        # reassemble group LLR streams from W consecutive frames
+        # (the reference's tb_decoder RCV_BUF accumulation across
+        # frames, tb_decoder.cc:57-66, as one static gather)
+        G = B // W
+        cnst_id = cnst_id[::W]
+        bps_g = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]  # [G]
+        fb = jnp.asarray(fec["frame_bits_tab"])[bps_g]
+        maxG = fec["max_group_bits"]
+        maxF = llrs.shape[1]
+        y = jnp.arange(maxG, dtype=jnp.int32)[None, :]
+        f = jnp.clip(y // jnp.maximum(fb[:, None], 1), 0, W - 1)
+        x = y - f * fb[:, None]
+        ok = y < W * fb[:, None]
+        llrs_f = llrs.reshape(G, W, maxF)
+        src = jnp.clip(f * maxF + x, 0, W * maxF - 1)
+        group_llrs = jnp.take_along_axis(llrs_f.reshape(G, W * maxF), src, axis=1)
+        llrs = jnp.where(ok, group_llrs, 0.0)
+        if tb_payload_len is not None:
+            tb_payload_len = tb_payload_len[::W]
     m, k, n = fec["m"], fec["k"], fec["n"]
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
     sched = _cw_schedule(fec, bps)
 
+    G = llrs.shape[0]  # groups (== B when W == 1)
     # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
     j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
     sent = j < m + sched["k_prime"][:, :, None]
     pos = jnp.clip(sched["cw_start"][:, :, None] + j, 0, llrs.shape[1] - 1)
     cw_llrs = jnp.take_along_axis(
-        llrs[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(B * fec["max_ncws"], -1),
-        pos.reshape(B * fec["max_ncws"], n),
+        llrs[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(G * fec["max_ncws"], -1),
+        pos.reshape(G * fec["max_ncws"], n),
         axis=1,
-    ).reshape(B, fec["max_ncws"], n)
+    ).reshape(G, fec["max_ncws"], n)
     cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
     bits, iters, ok = ldpc.decode(
         cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
     )
-    bits = bits.reshape(B, fec["max_ncws"], n)
-    iters = iters.reshape(B, fec["max_ncws"])
-    ok = ok.reshape(B, fec["max_ncws"])
+    bits = bits.reshape(G, fec["max_ncws"], n)
+    iters = iters.reshape(G, fec["max_ncws"])
+    ok = ok.reshape(G, fec["max_ncws"])
 
     real = sched["real"]
     fec_ok = jnp.all(ok | ~real, axis=1)
@@ -236,8 +304,8 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
     take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
     dst = jnp.where(take, sched["sys_start"][:, :, None] + t, maxP)
-    tb_bits = jnp.zeros((B, maxP + 1), jnp.int32)
-    tb_bits = tb_bits.at[jnp.arange(B)[:, None, None], dst].set(bits[:, :, m:])
+    tb_bits = jnp.zeros((G, maxP + 1), jnp.int32)
+    tb_bits = tb_bits.at[jnp.arange(G)[:, None, None], dst].set(bits[:, :, m:])
     tb_bits = tb_bits[:, :maxP]
 
     P = tb_payload_len if tb_payload_len is not None else sched["payload_bits"]
@@ -260,11 +328,26 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     )
     crc_ok = jnp.all(got == want, axis=1)
 
-    return FecFrameOut(
+    out = FecFrameOut(
         payload=payload[:, : fec["max_payload_bytes"]],
         payload_len=user_bytes,
         crc_ok=crc_ok & fec_ok,
         fec_ok=fec_ok,
         avg_iters=avg_iters.astype(jnp.float32),
         tb_payload_len=P,
+    )
+    if W == 1:
+        return out
+    # expand to per-frame rows: the group's payload is attributed to its
+    # first frame; the remaining W-1 rows carry zero-length payloads but
+    # replicate the status flags (so frame-level stats stay sensible)
+    first = (jnp.arange(B) % W) == 0
+    rep = lambda a: jnp.repeat(a, W, axis=0)
+    return FecFrameOut(
+        payload=jnp.where(first[:, None], rep(out.payload), 0),
+        payload_len=jnp.where(first, rep(out.payload_len), 0),
+        crc_ok=rep(out.crc_ok),
+        fec_ok=rep(out.fec_ok),
+        avg_iters=rep(out.avg_iters),
+        tb_payload_len=rep(out.tb_payload_len),
     )

@@ -80,18 +80,23 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
         )
         frame = repack.bits_to_bytes(frame_bits.astype(jnp.uint8))
         l_total = payload_len + framing.CRC_LEN
+        W = txp["fec"]["W"]
+        frame_in_tb = jnp.arange(B, dtype=jnp.int32) % W
+        frame_bits_n = n_payload_syms * bps.astype(jnp.int32)
+        # W == 1: small-TB-in-frame signal (offset == frame payload
+        # bits, ref tb_decoder.cc:79-82); W > 1: bit offset of this
+        # frame within its TB.  Both clipped to the 12-bit field.
+        tb_offset = jnp.where(
+            W == 1, frame_bits_n, frame_in_tb * frame_bits_n
+        ) & 0xFFF
         fields = header.HeaderFields(
             payload_len=jnp.zeros((B,), jnp.int32),
             frame_no=frame_no,
             cnst_id=cnst_id,
             feedback_cnst=feedback_cnst,
-            tb_no=frame_no,  # one TB per frame
+            tb_no=frame_no // W,  # TB (group) number
             fec_feedback=jnp.zeros((B,), jnp.int32),
-            # small-TB-in-frame signal: offset == frame payload bits
-            # (ref tb_decoder.cc:79-82), clipped to the 12-bit field
-            tb_offset=jnp.minimum(
-                n_payload_syms * bps.astype(jnp.int32), 0xFFF
-            ),
+            tb_offset=tb_offset,
             fec_scheme=jnp.ones((B,), jnp.int32),
             tb_payload=tb_payload,
         )
