@@ -47,23 +47,33 @@ def theory_ber(cnst_id: int, es_n0_db: float) -> float:
     raise ValueError(cnst_id)
 
 
-def run_point(cnst_id, snr_db, frames, seed, frame_length):
+def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None):
     import jax
     import jax.numpy as jnp
 
-    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
     from gr_dtl_tpu.ops import channel, constellation as cn
-    from gr_dtl_tpu.models import receiver, transmitter
+    from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
-    cfg = cfgmod.make_tx_config(None, frame_length=frame_length)
-    rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length)
-    txp = transmitter.build_tx(cfg)
-    rxp = receiver.build_rx(rxcfg)
+    use_fec = fec_alist is not None
+    cfg = cfgmod.make_tx_config(None, frame_length=frame_length, fec=use_fec)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length, fec=use_fec)
+    fec = None
+    if use_fec:
+        fec = fec_chain.build_fec(cfg, alist_mod.load_alist(fec_alist))
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(rxcfg, fec)
     rng = np.random.RandomState(seed)
     B = frames
     cnst = np.full(B, cnst_id, np.int32)
-    plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4, np.int32)
-    maxb = cfg.max_frame_bytes()
+    if use_fec:
+        maxb = fec["max_payload_bytes"]
+        plen = np.full(B, int(fec["user_bytes_tab"][int(cn.BITS_PER_SYMBOL[cnst_id])]),
+                       np.int32)
+    else:
+        maxb = cfg.max_frame_bytes()
+        plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4,
+                       np.int32)
     payload = np.zeros((B, maxb), np.uint8)
     for i in range(B):
         payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
@@ -101,6 +111,7 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length):
         "ber": bit_errors / bits_total,
         "fer": frame_errors / B,
         "theory_ber": theory_ber(cnst_id, es_n0),
+        "fec": bool(use_fec),
     }
 
 
@@ -110,6 +121,8 @@ def main():
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--frame-length", type=int, default=10)
     p.add_argument("--cnsts", default="1,2,3,4")
+    p.add_argument("--fec-alist", default=None,
+                   help="alist path: run the LDPC transport-block path")
     p.add_argument("--json", default=None)
     args = p.parse_args()
 
@@ -122,7 +135,8 @@ def main():
     for c in (int(x) for x in args.cnsts.split(",")):
         for s in (float(x) for x in args.snrs.split(",")):
             r = run_point(c, s, args.frames, seed=int(10 * s) + c,
-                          frame_length=args.frame_length)
+                          frame_length=args.frame_length,
+                          fec_alist=args.fec_alist)
             rows.append(r)
             print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "
                   f"BER={r['ber']:.2e} (theory {r['theory_ber']:.2e})  "
