@@ -216,8 +216,12 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
         jnp.arange(G)[:, None, None], pos
     ].set(cws)
     group_bits = group_bits[:, :maxG]
+    # the header's fec_tb_payload field carries the ACTUAL payload bits
+    # (user bytes + CRC32) so partially filled frames decode correctly;
+    # the codeword schedule itself always uses the full-capacity layout
+    actual_tb = payload_len * 8 + CRC_LEN_BITS
     if W == 1:
-        return group_bits, sched["payload_bits"]
+        return group_bits, actual_tb
     # split the group stream into W per-frame streams: frame f of group
     # g carries group bits [f*fb, (f+1)*fb) with fb = cap*bps (dynamic)
     maxF = fec["max_frame_bits"]
@@ -231,7 +235,7 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
         group_bits[:, None, :].repeat(W, axis=1).reshape(G * W, maxG),
         src.reshape(G * W, maxF), axis=1)
     frame_bits = jnp.where(ok.reshape(G * W, maxF), frame_bits, 0)
-    tb_payload = jnp.repeat(sched["payload_bits"], W)
+    tb_payload = jnp.repeat(actual_tb, W)
     return frame_bits, tb_payload
 
 

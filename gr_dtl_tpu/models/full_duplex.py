@@ -75,7 +75,7 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float):
 
     def send_one(node: NodeState, noise_v, key):
         """TX one frame from `node` with its current state."""
-        kp, kn = jax.random.split(key)
+        kp, kpad, kn = jax.random.split(key, 3)
         plen = cap_per_bps[bps_table[node.tx_cnst]]
         payload = jax.random.randint(kp, (1, maxb), 0, 256, dtype=jnp.int32).astype(
             jnp.uint8
@@ -88,7 +88,7 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float):
             node.tx_cnst[None],
             fb_cnst[None],
             node.frame_no[None],
-            kp,
+            kpad,
         )
         rxsamp = chan.awgn(kn, out.samples, noise_v)
         return rxsamp

@@ -71,7 +71,7 @@ def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
     frame_samples], eps [n_frames] fractional CFO).
     """
     P, M = sync.timing_metric(stream, cfg.fft_len)
-    phase = sync.fold_detect(M, cfg.frame_samples)
+    phase = sync.fold_detect(M, cfg.frame_samples, cfg.cp_len)
     trig = sync.frame_triggers(M, phase, cfg.frame_samples, n_frames)
     eps = sync.fine_cfo(P, trig, cfg.cp_len)
     # FFT windows start mid-CP: trigger sits on the metric plateau

@@ -60,7 +60,7 @@ def build_simplex(cfg, *, noise_fwd: float, noise_rev: float):
     )
 
     def round_step(state: SimplexState, key):
-        kp, kn, kb = jax.random.split(key, 3)
+        kp, kpad, kn, kb = jax.random.split(key, 4)
         # --- forward link: TX node -> RX node ---
         plen = cap_per_bps[bps_table[state.tx_cnst]]
         payload = jax.random.randint(kp, (1, maxb), 0, 256, dtype=jnp.int32).astype(
@@ -69,7 +69,7 @@ def build_simplex(cfg, *, noise_fwd: float, noise_rev: float):
         out = transmitter.tx_frames(
             txp, payload, plen[None], state.tx_cnst[None],
             cnst_of_mcs[state.rx_fb.last][None],  # unused echo in simplex
-            state.frame_no[None], kp,
+            state.frame_no[None], kpad,
         )
         fwd = chan.awgn(kn, out.samples, noise_fwd)
         rx = receiver.rx_frames(rxp, fwd, fallback_cnst=state.tx_cnst[None])

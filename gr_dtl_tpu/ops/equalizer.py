@@ -66,12 +66,15 @@ def build_equalizer(cfg):
     pil_idx = np.array(cfg.pilot_carriers, dtype=np.int32) + half
     pil[pil_idx] = True
 
-    n_data_syms = cfg.header_symbols + cfg.frame_length
-    seq = np.array(cfg.pilot_sym_scramble_seq, dtype=np.float32)
-    pilot_vals = np.zeros((n_data_syms, fft_len), dtype=np.complex64)
-    for s in range(n_data_syms):
-        x = seq[s % len(seq)]
-        pilot_vals[s, pil_idx] = np.array([x, x, x, -x], dtype=np.complex64)
+    # reuse the allocator's pilot map (single source of truth for the
+    # scrambled pilot pattern — TX pilots and the equalizer's expected
+    # pilots can never diverge)
+    from gr_dtl_tpu.ops import ofdm
+
+    pilot_map = ofdm.build_allocator(cfg)["pilot_map"]
+    pilot_vals = np.where(pil[None, :], pilot_map[cfg.n_sync_symbols :], 0.0).astype(
+        np.complex64
+    )
 
     return {
         "occ_mask": occ,

@@ -27,18 +27,24 @@ __all__ = ["lfsr_bytes", "scramble_frames"]
 def lfsr_bytes(mask: int = 0x8A, seed: int = 0x7F, reg_len: int = 7,
                n_bytes: int = 1024) -> np.ndarray:
     """Byte sequence of the additive scrambler (LSB-first bit packing,
-    matching the byte-wise application with bits_per_byte=8)."""
-    reg = seed & ((1 << reg_len) - 1)
+    matching the byte-wise application with bits_per_byte=8).
+
+    gr::digital::lfsr semantics, bit-exact with the reference's
+    scrambler: output = LSB of the register; the feedback bit (parity of
+    register & mask) shifts into bit position *reg_len* (i.e. the state
+    is reg_len+1 bits wide — see gr lfsr.h's ``newbit <<
+    d_shift_register_length``).  With (0x8A, 0x7F, 7) the emitted
+    sequence has period 63, exactly what additive_scrambler_bb
+    produces.
+    """
+    reg = seed
     out = np.zeros(n_bytes, dtype=np.uint8)
     for i in range(n_bytes):
         b = 0
         for j in range(8):
             bit = reg & 1
-            # Galois step: output bit is LSB; feedback taps from mask
-            reg >>= 1
-            if bit:
-                reg ^= mask >> 1
-                reg |= 1 << (reg_len - 1)
+            newbit = bin(reg & mask).count("1") & 1
+            reg = (reg >> 1) | (newbit << reg_len)
             b |= bit << j
         out[i] = b
     return out

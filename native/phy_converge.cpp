@@ -71,7 +71,8 @@ int dtl_ip_valid(const uint8_t* buf, size_t len, size_t* packet_len) {
 
 int dtl_ether_valid(const uint8_t* buf, size_t len, const uint8_t mac[6],
                     size_t* packet_len) {
-    if (len < 14) { *packet_len = len; return 0; }
+    // needs 18 bytes: the length field lives at offset 16..17
+    if (len < 18) { *packet_len = len; return 0; }
     *packet_len = 14 + rd_be16(buf + 16);
     return memcmp(buf, mac, 6) == 0;
 }

@@ -80,3 +80,26 @@ def test_fec_beats_uncoded_at_low_snr():
     assert ok.mean() >= 0.75, (ok, np.asarray(rx.snr_db))
     np.testing.assert_array_equal(np.asarray(rx.payload)[ok], payload[ok])
     assert float(jnp.mean(rx.avg_iters)) > 0.2  # BP actually iterated
+
+
+def test_fec_partial_payload_frames():
+    """Partially filled FEC frames (the pack_pdus -> FEC pipeline's last
+    frame) must decode with the correct payload length (regression: the
+    header used to advertise full-capacity tb_payload)."""
+    cfg, rxcfg, fec, txp, rxp = _setup()
+    rng = np.random.RandomState(4)
+    B = 4
+    cnst = np.full(B, 2, np.int32)
+    plen = np.array([5, 1, 17, 0], np.int32)
+    payload = np.zeros((B, fec["max_payload_bytes"]), np.uint8)
+    for i in range(B):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    rx = receiver.rx_frames(rxp, out.samples)
+    assert bool(jnp.all(rx.crc_ok)), np.asarray(rx.crc_ok)
+    np.testing.assert_array_equal(np.asarray(rx.payload_len), plen)
+    np.testing.assert_array_equal(np.asarray(rx.payload), payload)

@@ -123,3 +123,41 @@ def test_channel_loopback_integer_cfo():
     np.testing.assert_array_equal(np.asarray(rx.carr_offset), 2)
     assert bool(jnp.all(rx.crc_ok)), "payload CRC failed under integer CFO"
     np.testing.assert_array_equal(np.asarray(rx.payload), payload)
+
+
+def test_channel_loopback_clock_drift():
+    """Sample-clock offset (~60 ppm): per-frame trigger refinement must
+    absorb the accumulating timing drift across 24 frames (the recorded
+    -IQ replay scenario, BASELINE config 4)."""
+    cfg = cfgmod.make_tx_config(None, frame_length=10)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10)
+    txp = transmitter.build_tx(cfg)
+    rxp = receiver.build_rx(rxcfg)
+    rng = np.random.RandomState(5)
+    B = 24
+    cnst = np.full((B,), int(cn.ConstellationType.QPSK), np.int32)
+    payload, plen = _make_payloads(cfg, B, cnst, rng)
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(6),
+    )
+    stream = np.concatenate(
+        [np.zeros(400, np.complex64), np.asarray(out.samples).reshape(-1),
+         np.zeros(300, np.complex64)]
+    )
+    # resample at (1 + 60ppm): linear interpolation on a stretched grid
+    ppm = 60e-6
+    t = np.arange(len(stream) - 2) * (1.0 + ppm)
+    i0 = np.floor(t).astype(int)
+    fr = t - i0
+    drifted = (stream[i0] * (1 - fr) + stream[i0 + 1] * fr).astype(np.complex64)
+    sig = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
+    noisy = channel.awgn(jax.random.PRNGKey(7), jnp.asarray(drifted),
+                         float(np.sqrt(sig / 10 ** 3)))
+    frames, _ = receiver.detect_and_extract(noisy, rxcfg, B)
+    rx = receiver.rx_frames(rxp, frames)
+    ok = np.asarray(rx.crc_ok)
+    # total drift over the capture is ~1.6 samples; all frames decode
+    assert ok.all(), ok
+    np.testing.assert_array_equal(np.asarray(rx.payload), payload)

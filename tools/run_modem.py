@@ -82,6 +82,7 @@ def run_loopback(args):
         jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
         jax.random.PRNGKey(args.seed),
     )
+    tx_view = (payload, plen)  # user payload for the offline BER store
     sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
     noise_v = float(np.sqrt(sig / 10 ** (args.snr_db / 10)))
     stream = jnp.concatenate(
@@ -99,7 +100,7 @@ def run_loopback(args):
     res["mode"] = "loopback"
     res["snr_cfg_db"] = args.snr_db
     res["cfo"] = args.cfo
-    _stores_and_telemetry(args, out, rx, cfg)
+    _stores_and_telemetry(args, tx_view, rx, cfg)
     _report(args, res)
 
 
@@ -166,14 +167,16 @@ def _summarize(rx, B):
     }
 
 
-def _stores_and_telemetry(args, tx_out, rx, cfg):
+def _stores_and_telemetry(args, tx_view, rx, cfg):
     if args.store_tx:
         from gr_dtl_tpu.testbed.frame_store import FrameStore
 
+        tx_payload, tx_plen = tx_view
+
         class TxView:
-            payload = np.asarray(tx_out.frame_bytes)
-            payload_len = np.asarray(tx_out.l_total) - 4
-            frame_no = np.arange(len(payload_len)) % 4096
+            payload = np.asarray(tx_payload)  # user payload (pre-coding)
+            payload_len = np.asarray(tx_plen)
+            frame_no = np.arange(len(tx_plen)) % 4096
 
         with FrameStore(args.store_tx) as s:
             s.store_batch(TxView())
