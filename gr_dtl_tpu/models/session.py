@@ -1,6 +1,7 @@
-"""Continuous streaming receiver: block-by-block RX with carried state.
+"""Continuous streaming sessions: block-by-block TX/RX with carried state.
 
-The last runtime piece replacing GNU Radio's always-on scheduler: a
+The runtime piece replacing GNU Radio's always-on scheduler.
+
 :class:`StreamRx` consumes an endless sample stream in fixed-size
 blocks (any whole number of frame periods), carrying across blocks
 
@@ -12,22 +13,39 @@ blocks (any whole number of frame periods), carrying across blocks
   failure fallback,
 - a running expected frame number for lost-frame accounting.
 
-One jitted per-block function does metric -> vote -> triggers -> demod;
-the host loop only moves the small carry dict between calls.
+:class:`StreamTx` is the continuous framer/modulator: a host-side PDU
+queue feeds a jitted per-block modulator, with the reference TX
+framer's streaming behaviors (``ofdm_adaptive_frame_bb_impl.cc``):
+
+- whole-PDU frame packing incl. jumbo split (pdu_consumer semantics),
+- **empty-frame generation** when the queue is dry (ref :320-338) with
+  the ``max_empty_frames`` give-up budget (``TxConfig``),
+- **wall-clock frame pacing** to ``sample_rate`` (the reference's
+  ``sleep_until`` pacing, ref :186-190) — optional, host-side,
+- feedback-driven MCS switch (``process_feedback_header``, ref
+  :111-130) and feedback echo for the outgoing headers (ref :333-336).
+
+:class:`StreamDuplex` wires two ``StreamTx`` + two ``StreamRx`` into a
+host-level always-on full-duplex modem with in-band adaptation — the
+streaming counterpart of models/full_duplex.py's in-graph session.
+
+One jitted per-block function per direction; the host loop only moves
+small carries and byte queues between calls.
 """
 
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gr_dtl_tpu.ops import constellation as cn, metrics, sync
-from gr_dtl_tpu.models import receiver, streaming
+from gr_dtl_tpu.models import adaptive, receiver, streaming, transmitter
 
-__all__ = ["StreamRx"]
+__all__ = ["StreamRx", "StreamTx", "StreamDuplex"]
 
 
 class StreamRx:
@@ -102,3 +120,240 @@ class StreamRx:
         )
         self._tail = np.asarray(chunk)[-self.tail_len :]
         return out, np.asarray(valid)
+
+
+class StreamTx:
+    """Continuous framer/modulator: feed me PDUs, I emit sample blocks.
+
+    Mirrors the reference TX framer's streaming contract
+    (``ofdm_adaptive_frame_bb_impl.cc:176-310``): whole-PDU packing,
+    empty-frame generation when idle, pacing, and MCS switching driven
+    by decoded peer feedback.
+
+    Args:
+      cfg: TxConfig (``max_empty_frames``/``sample_rate`` honored).
+      frames_per_block: frames modulated per jitted step.
+      pace: when True, :meth:`next_block` sleeps until the block's
+        wall-clock deadline at ``cfg.sample_rate`` (the reference's
+        ``sleep_until`` pacing, ref :186-190).
+    """
+
+    def __init__(self, cfg, frames_per_block: int = 16, fec=None,
+                 pace: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.F = frames_per_block
+        self.txp = transmitter.build_tx(cfg, fec)
+        self.block_samples = self.F * cfg.frame_samples
+        self.pace = pace
+        self._queue: list[bytes] = []
+        self._jumbo_rest = b""  # tail of a split jumbo PDU
+        self._frame_no = 0
+        self._cnst = int(cn.ConstellationType.BPSK)
+        self._echo = 0
+        self._empty_run = 0  # consecutive all-empty blocks emitted
+        self._key = jax.random.PRNGKey(seed)
+        self._deadline = None  # pacing clock
+        self._maxb = cfg.max_frame_bytes()
+        self._step = jax.jit(functools.partial(transmitter.tx_frames, self.txp))
+
+    # -- control plane (reference message-port handlers) ---------------
+    def send(self, pdu: bytes):
+        """Queue one PDU (network packet) for transmission."""
+        self._queue.append(bytes(pdu))
+
+    def set_feedback(self, cnst_id: int):
+        """Peer-requested constellation switch — the decoded
+        ``feedback_constellation`` echo from the peer's headers
+        (``process_feedback_header``, ref :111-130)."""
+        if 1 <= int(cnst_id) <= 4:
+            self._cnst = int(cnst_id)
+
+    def set_feedback_echo(self, cnst_id: int):
+        """Local RX decision to echo in outgoing headers (ref :333-336)."""
+        self._echo = int(cnst_id)
+
+    @property
+    def constellation(self) -> int:
+        return self._cnst
+
+    # -- data plane -----------------------------------------------------
+    def _capacity(self) -> int:
+        bps = int(cn.BITS_PER_SYMBOL[self._cnst])
+        return self.cfg.frame_bytes(bps) - 4  # minus CRC32
+
+    def next_block(self):
+        """Modulate one block -> (samples [block_samples] np.complex64,
+        info dict) or ``None`` once the empty-frame budget is spent.
+
+        Frames hold whole queued PDUs (jumbo PDUs split); slots with no
+        data become empty frames (payload_len 0) so the stream — and the
+        in-band adaptation loop — stays alive, up to
+        ``cfg.max_empty_frames`` consecutive all-empty *blocks*
+        (-1 = forever, matching the reference default).
+        """
+        cap = self._capacity()
+        F = self.F
+        # incremental pack_pdus with a hard F-frame budget: whole PDUs
+        # per frame, jumbo PDUs split, leftovers stay queued
+        frames: list[bytes] = []
+        cur = bytearray()
+        if self._jumbo_rest:
+            rest = self._jumbo_rest
+            self._jumbo_rest = b""
+            while rest and len(frames) < F:
+                frames.append(rest[:cap])
+                rest = rest[cap:]
+            self._jumbo_rest = rest
+        while self._queue and len(frames) < F:
+            pdu = self._queue[0]
+            if len(pdu) > cap:
+                # jumbo: own frames, split; the tail chunk also gets its
+                # own frame (pack_pdus semantics, ref d_current_pdu_remain)
+                if cur:
+                    frames.append(bytes(cur))
+                    cur = bytearray()
+                    continue
+                self._queue.pop(0)
+                while pdu and len(frames) < F:
+                    frames.append(pdu[:cap])
+                    pdu = pdu[cap:]
+                self._jumbo_rest = pdu
+                continue
+            if len(cur) + len(pdu) > cap:
+                frames.append(bytes(cur))
+                cur = bytearray()
+                continue
+            cur += self._queue.pop(0)
+        if cur and len(frames) < F:
+            frames.append(bytes(cur))
+        plen = np.array([len(f) for f in frames], np.int32)
+        payload = np.zeros((len(frames), cap), np.uint8)
+        for i, f in enumerate(frames):
+            payload[i, : len(f)] = np.frombuffer(f, np.uint8)
+        n_data = payload.shape[0]
+        if n_data == 0:
+            self._empty_run += 1
+            maxe = getattr(self.cfg, "max_empty_frames", -1)
+            if maxe >= 0 and self._empty_run > maxe:
+                return None  # reference framer's WORK_DONE
+        else:
+            self._empty_run = 0
+        full_payload = np.zeros((F, self._maxb), np.uint8)
+        full_plen = np.zeros(F, np.int32)
+        full_payload[:n_data, :cap] = payload[:, :cap]
+        full_plen[:n_data] = plen
+        frame_nos = (self._frame_no + np.arange(F)) & 0xFFF
+        self._frame_no = int((self._frame_no + F) & 0xFFF)
+        self._key, sub = jax.random.split(self._key)
+        out = self._step(
+            jnp.asarray(full_payload),
+            jnp.asarray(full_plen),
+            jnp.full((F,), self._cnst, jnp.int32),
+            jnp.full((F,), self._echo, jnp.int32),
+            jnp.asarray(frame_nos, jnp.int32),
+            sub,
+        )
+        if self.pace:
+            rate = getattr(self.cfg, "sample_rate", 0) or 0
+            if rate > 0:
+                now = time.monotonic()
+                if self._deadline is None:
+                    self._deadline = now
+                self._deadline += self.block_samples / rate
+                if self._deadline > now:  # ref sleep_until :186-190
+                    time.sleep(self._deadline - now)
+        info = {
+            "frame_no": frame_nos,
+            "payload_len": full_plen,
+            "cnst_id": np.full(F, self._cnst, np.int32),
+            "frame_bytes": np.asarray(out.frame_bytes),
+            "l_total": np.asarray(out.l_total),
+        }
+        return np.asarray(out.samples).reshape(-1), info
+
+
+class StreamDuplex:
+    """Always-on full-duplex modem node pair over user-supplied channels.
+
+    The streaming counterpart of models/full_duplex.py: two
+    ``StreamTx``/``StreamRx`` pairs on the host, adaptation in-band via
+    the header echo (SURVEY.md §3.3/3.4).  The caller supplies the two
+    channel functions (e.g. ops/channel.awgn closures) so fading /
+    recorded impairments can be injected per direction.
+
+    Each :meth:`step` moves one block in both directions and applies:
+      peer echo (header ``feedback_constellation``) -> local TX MCS,
+      local RX SNR -> feedback decision -> local echo.
+    """
+
+    def __init__(self, cfg_tx_a, cfg_rx_a, cfg_tx_b, cfg_rx_b,
+                 channel_ab, channel_ba, frames_per_block: int = 8):
+        self.F = frames_per_block
+        self.tx_a = StreamTx(cfg_tx_a, frames_per_block)
+        self.tx_b = StreamTx(cfg_tx_b, frames_per_block)
+        self.rx_a = StreamRx(cfg_rx_a, frames_per_block)
+        self.rx_b = StreamRx(cfg_rx_b, frames_per_block)
+        self.chan_ab = channel_ab
+        self.chan_ba = channel_ba
+        self.tables = adaptive.build_mcs_tables(cfg_rx_a)
+        self._fb_a = adaptive.initial_state(cfg_rx_a.initial_mcs_id)
+        self._fb_b = adaptive.initial_state(cfg_rx_b.initial_mcs_id)
+        tables = self.tables
+
+        @jax.jit
+        def fb_scan_masked(state, snrs, mask):
+            # fixed-length masked scan: invalid frames don't update the
+            # decision state (avoids per-block retraces)
+            def step(s, x):
+                snr, m = x
+                ns, mcs = adaptive.feedback_step(s, snr, tables)
+                ns = jax.tree.map(lambda a, b: jnp.where(m, a, b), ns, s)
+                return ns, jnp.where(m, mcs, s.last)
+
+            return jax.lax.scan(step, state, (snrs, mask))
+
+        self._fb_scan = fb_scan_masked
+        self._cnst_of_mcs = np.asarray(self.tables["cnst"])
+
+    def _half(self, tx: StreamTx, chan, rx: StreamRx, fb_state):
+        blk = tx.next_block()
+        if blk is None:
+            return None, fb_state, None
+        samples, _info = blk
+        out, valid = rx.process(np.asarray(chan(samples)))
+        ok = np.asarray(out.header_ok) & valid
+        # adaptation: decisions only on decoded frames (ref: feedback
+        # comes from the equalizer only when a frame was received)
+        echo_mcs = None
+        if ok.any():
+            fb_state, mcs_seq = self._fb_scan(
+                fb_state, out.snr_db, jnp.asarray(ok))
+            echo_mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
+        # last valid decoded echo steers this node's peer
+        echoes = np.asarray(out.feedback_cnst)[ok]
+        peer_req = int(echoes[-1]) if echoes.size else None
+        return out, fb_state, {"echo_mcs": echo_mcs, "peer_req": peer_req,
+                               "n_ok": int(ok.sum())}
+
+    def step(self):
+        """One block each way; returns per-direction RxOut + telemetry
+        (None once both TX queues and empty budgets are exhausted)."""
+        out_b, self._fb_b, ctl_b = self._half(
+            self.tx_a, self.chan_ab, self.rx_b, self._fb_b)
+        out_a, self._fb_a, ctl_a = self._half(
+            self.tx_b, self.chan_ba, self.rx_a, self._fb_a)
+        if out_a is None and out_b is None:
+            return None
+        # B's decision about the A->B link is echoed in B's headers and,
+        # decoded at A, switches A's TX constellation (and vice versa).
+        if ctl_b and ctl_b["echo_mcs"] is not None:
+            self.tx_b.set_feedback_echo(
+                int(self._cnst_of_mcs[ctl_b["echo_mcs"]]))
+        if ctl_a and ctl_a["echo_mcs"] is not None:
+            self.tx_a.set_feedback_echo(
+                int(self._cnst_of_mcs[ctl_a["echo_mcs"]]))
+        if ctl_a and ctl_a["peer_req"]:
+            self.tx_a.set_feedback(ctl_a["peer_req"])
+        if ctl_b and ctl_b["peer_req"]:
+            self.tx_b.set_feedback(ctl_b["peer_req"])
+        return {"a": out_a, "b": out_b, "ctl_a": ctl_a, "ctl_b": ctl_b}

@@ -58,3 +58,119 @@ def test_stream_rx_chunked():
     assert len(decoded) == B, (sorted(decoded), B)
     for i in range(B):
         assert decoded[i] == payload[i, : plen[i]].tobytes(), f"frame {i} mismatch"
+
+
+def test_stream_tx_packing_and_empty_budget():
+    """PDU packing honors whole-PDU/jumbo semantics; empty-frame budget
+    ends the stream like the reference framer's WORK_DONE."""
+    cfg = cfgmod.make_tx_config(None, frame_length=10, max_empty_frames=1)
+    tx = session.StreamTx(cfg, frames_per_block=4)
+    cap = tx._capacity()
+    rng = np.random.RandomState(3)
+    small = [rng.randint(0, 256, cap // 3).astype(np.uint8).tobytes()
+             for _ in range(4)]
+    jumbo = rng.randint(0, 256, 2 * cap + 5).astype(np.uint8).tobytes()
+    for p in small[:2]:
+        tx.send(p)
+    tx.send(jumbo)
+    for p in small[2:]:
+        tx.send(p)
+
+    infos = []
+    while True:
+        blk = tx.next_block()
+        if blk is None:
+            break
+        samples, info = blk
+        assert samples.shape == (tx.block_samples,)
+        infos.append(info)
+    plens = np.concatenate([i["payload_len"] for i in infos])
+    # frame 0: two small PDUs packed together; then jumbo split 2 full +
+    # remainder frame shared nothing (jumbo owns frames), then 2 smalls
+    payload_stream = b"".join(small[:2]) + jumbo + b"".join(small[2:])
+    got = []
+    for i in infos:
+        for f in range(4):
+            if i["payload_len"][f]:
+                got.append((i["frame_no"][f], i["payload_len"][f]))
+    # whole-PDU packing: first data frame holds both small PDUs
+    assert plens[0] == 2 * (cap // 3)
+    # jumbo split: two full-capacity frames
+    assert plens[1] == cap and plens[2] == cap
+    # total bytes conserved
+    assert int(plens.sum()) == len(payload_stream)
+    # frames: [s0+s1], [jumbo cap], [jumbo cap], [jumbo tail], [s2+s3]
+    n_data_frames = int((plens > 0).sum())
+    assert n_data_frames == 5
+    assert len(infos) >= 2 and all(infos[-1]["payload_len"] == 0)
+
+
+def test_stream_tx_to_stream_rx_roundtrip():
+    """Continuous TX session -> AWGN -> continuous RX session recovers
+    every queued PDU byte."""
+    txcfg = cfgmod.make_tx_config(None, frame_length=10, max_empty_frames=0)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10)
+    F = 4
+    tx = session.StreamTx(txcfg, frames_per_block=F, seed=7)
+    cap = tx._capacity()
+    rng = np.random.RandomState(5)
+    pdus = [rng.randint(0, 256, rng.randint(10, cap + 200)).astype(np.uint8).tobytes()
+            for _ in range(6)]
+    for p in pdus:
+        tx.send(p)
+    rx = session.StreamRx(rxcfg, frames_per_block=F)
+    sent = []
+    blocks = []
+    while True:
+        blk = tx.next_block()
+        if blk is None:
+            break
+        samples, info = blk
+        for f in range(F):
+            if info["payload_len"][f]:
+                sent.append(bytes(
+                    np.asarray(info["frame_bytes"])[f][: info["payload_len"][f]]
+                    .astype(np.uint8)))
+        blocks.append(samples)
+    blocks.append(np.zeros(rx.block_samples, np.complex64))  # flush tail
+    stream = np.concatenate(blocks)
+    sig = float(np.mean(np.abs(stream[: len(blocks[0])]) ** 2))
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(2), jnp.asarray(stream), float(np.sqrt(sig / 10**3))))
+    got = []
+    for b in range(len(blocks)):
+        outb, valid = rx.process(stream[b * rx.block_samples:(b + 1) * rx.block_samples])
+        ok = np.asarray(outb.crc_ok) & valid
+        for i in range(F):
+            if ok[i] and np.asarray(outb.payload_len)[i]:
+                got.append(bytes(np.asarray(outb.payload)[i][: np.asarray(outb.payload_len)[i]]))
+    assert b"".join(got) == b"".join(sent) == b"".join(pdus)
+
+
+def test_stream_duplex_adaptation():
+    """Host-level always-on duplex: the high-SNR direction upgrades its
+    TX constellation via the in-band echo; the low-SNR one stays BPSK."""
+    txcfg = cfgmod.make_tx_config(None, frame_length=10, max_empty_frames=-1)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10)
+
+    def make_chan(snr_db, seed):
+        k = [jax.random.PRNGKey(seed)]
+
+        def chan(samples):
+            k[0], sub = jax.random.split(k[0])
+            sig = float(np.mean(np.abs(samples) ** 2))
+            return channel.awgn(sub, jnp.asarray(samples),
+                                float(np.sqrt(sig / 10 ** (snr_db / 10))))
+
+        return chan
+
+    dpx = session.StreamDuplex(
+        txcfg, rxcfg, txcfg, rxcfg,
+        make_chan(30.0, 11), make_chan(5.0, 12), frames_per_block=8)
+    for _ in range(4):
+        res = dpx.step()
+        assert res is not None
+    # A->B at 30 dB: B's decision ladder climbs, echo switches A's TX up
+    assert dpx.tx_a.constellation > int(cn.ConstellationType.BPSK)
+    # B->A at 5 dB: A keeps requesting BPSK
+    assert dpx.tx_b.constellation == int(cn.ConstellationType.BPSK)
