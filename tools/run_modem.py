@@ -186,12 +186,19 @@ def _stores_and_telemetry(args, tx_view, rx, cfg):
         with FrameStore(args.store_rx) as s:
             s.store_batch(rx)
     if args.zmq:
+        import time
+
         from gr_dtl_tpu.testbed import monitor
 
         probe = monitor.MonitorProbe(args.zmq)
+        # one-shot publisher: give late SUB joiners time to (re)connect
+        # before the burst (the reference publisher runs forever, so it
+        # never needs this)
+        time.sleep(0.5)
         builder = monitor.MonitorProto(monitor.EQ_MSG)
         for msg in monitor.eq_messages(rx):
             probe.send(builder.build(msg))
+        time.sleep(0.2)  # let the PUB queue drain before close
         probe.close()
 
 
