@@ -74,6 +74,12 @@ class StreamRx:
         )
         self._fallback = jnp.full((self.F,), int(cn.ConstellationType.BPSK),
                                   jnp.int32)
+        # lost-frame accounting (ref frame_equalizer_vcvc_impl.cc:124-137):
+        # 12-bit frame-number gaps, carried across blocks; -1 = no frame
+        # seen yet
+        self._expected_no = jnp.asarray(-1, jnp.int32)
+        self.n_lost = 0
+        self.n_frames = 0
         self._step = self._build_step()
 
     def _build_step(self):
@@ -81,7 +87,7 @@ class StreamRx:
         rxp = self.rxp
 
         @jax.jit
-        def step(samples, lock_state, fallback_cnst):
+        def step(samples, lock_state, fallback_cnst, expected_no):
             """samples: [tail + block] complex64; triggers are owned by
             the tail-start coordinate system (frame k starts in the
             first F periods of `samples`)."""
@@ -105,7 +111,23 @@ class StreamRx:
             lock_state = lock_state._replace(
                 expected=lock_state.expected - F * P
             )
-            return out, valid, lock_state, new_fallback
+            # lost-frame accounting across blocks (12-bit gaps)
+            ok = out.header_ok & valid
+
+            def acct(exp, x):
+                no, okf = x
+                first = exp < 0
+                gap = jnp.where(first, 0, (no - exp) % 4096)
+                lost = jnp.where(okf, gap, jnp.where(first, 0, 1))
+                new_exp = jnp.where(
+                    okf, (no + 1) % 4096,
+                    jnp.where(first, exp, (exp + 1) % 4096))
+                return new_exp, lost
+
+            expected_no, losts = jax.lax.scan(
+                acct, expected_no, (out.frame_no, ok))
+            return out, valid, lock_state, new_fallback, expected_no, (
+                jnp.sum(losts), jnp.sum(ok))
 
         return step
 
@@ -115,11 +137,19 @@ class StreamRx:
             f"feed exactly {self.block_samples} samples per call"
         )
         samples = np.concatenate([self._tail, np.asarray(chunk, np.complex64)])
-        out, valid, self._lock, self._fallback = self._step(
-            jnp.asarray(samples), self._lock, self._fallback
+        out, valid, self._lock, self._fallback, self._expected_no, acct = (
+            self._step(jnp.asarray(samples), self._lock, self._fallback,
+                       self._expected_no)
         )
         self._tail = np.asarray(chunk)[-self.tail_len :]
+        self.n_lost += int(acct[0])
+        self.n_frames += int(acct[0]) + int(acct[1])
         return out, np.asarray(valid)
+
+    @property
+    def lost_frame_rate(self) -> float:
+        """lost / (lost + received), as the reference equalizer reports."""
+        return self.n_lost / self.n_frames if self.n_frames else 0.0
 
 
 class StreamTx:

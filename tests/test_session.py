@@ -147,6 +147,55 @@ def test_stream_tx_to_stream_rx_roundtrip():
     assert b"".join(got) == b"".join(sent) == b"".join(pdus)
 
 
+def test_stream_rx_sample_slip_resync():
+    """A mid-stream sample slip (dropped samples, e.g. an overrun) must
+    not kill the session: the per-block phase vote re-locks and frames
+    decode again; the lost-frame counter reflects the outage."""
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    F = 4
+    n_blocks = 8
+    B = F * n_blocks
+    rng = np.random.RandomState(1)
+    maxb = txcfg.max_frame_bytes()
+    plen = np.full(B, txcfg.frame_bytes(2) - 4, np.int32)
+    payload = np.zeros((B, maxb), np.uint8)
+    for i in range(B):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen),
+        jnp.full(B, 2, jnp.int32), jnp.zeros(B, jnp.int32),
+        jnp.arange(B, dtype=jnp.int32), jax.random.PRNGKey(0))
+    samples = np.asarray(out.samples).reshape(-1)
+    # drop 137 samples mid-stream (between frames 15 and 16ish)
+    cut = 16 * cfg.frame_samples + 200
+    slipped = np.concatenate([samples[:cut], samples[cut + 137:]])
+    rx = session.StreamRx(cfg, frames_per_block=F)
+    S = rx.block_samples
+    stream = np.concatenate([slipped, np.zeros(2 * S, np.complex64)])
+    stream = stream[: (len(stream) // S) * S]
+    sig = float(np.mean(np.abs(samples) ** 2))
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(3), jnp.asarray(stream), float(np.sqrt(sig / 1e3))))
+
+    decoded = set()
+    for b in range(len(stream) // S):
+        outb, valid = rx.process(stream[b * S:(b + 1) * S])
+        ok = np.asarray(outb.crc_ok) & valid
+        for i in range(F):
+            if ok[i]:
+                fno = int(np.asarray(outb.frame_no)[i])
+                pay = np.asarray(outb.payload)[i, : plen[0]]
+                assert pay.tobytes() == payload[fno, : plen[fno]].tobytes()
+                decoded.add(fno)
+    # everything before the slip decodes; the receiver re-locks after it
+    assert all(f in decoded for f in range(15))
+    assert any(f in decoded for f in range(20, B)), "never re-locked"
+    assert rx.n_lost >= 1  # the outage shows up in lost-frame accounting
+    assert rx.lost_frame_rate > 0
+
+
 def test_stream_duplex_adaptation():
     """Host-level always-on duplex: the high-SNR direction upgrades its
     TX constellation via the in-band echo; the low-SNR one stays BPSK."""
