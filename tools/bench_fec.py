@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""FEC-path benchmark: full coded RX + raw LDPC BP throughput on the chip.
+
+Two numbers, printed as one JSON line:
+
+- ``coded_rx_msps``: complex samples/s through the complete coded
+  receiver (sync + demod + soft LLRs + BP decode + TB reassembly + CRC)
+  with the n=300/k=152 demo code — the coded counterpart of bench.py.
+- ``ldpc_info_mbps``: raw information throughput (Mbit/s of decoded
+  systematic bits) of the batched sum-product BP decoder alone at
+  15 iterations, the hot op of the FEC path.
+
+The reference's FEC example runs at 0.4 Msamples/s host rate
+(examples/config_fec.json); its decoder does one codeword at a time on
+the CPU (awgn_bp).
+
+Usage: timeout 900 python tools/bench_fec.py [batch_frames]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
+    from gr_dtl_tpu.ops import channel, constellation as cn, ldpc
+    from gr_dtl_tpu.models import fec_chain, receiver, transmitter
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(here, "examples", "config_fec.json")
+    cfg = cfgmod.make_tx_config(cfg_path, frame_length=20)
+    rxcfg = cfgmod.make_rx_config(cfg_path, frame_length=20)
+    name, path = cfg.fec_codes[0]
+    H = alist_mod.load_alist(os.path.join(here, path)
+                             if not os.path.isabs(path) else path)
+    fec = fec_chain.build_fec(cfg, H)
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(rxcfg, fec)
+
+    rng = np.random.RandomState(0)
+    cnst = np.full(B, 2, np.int32)  # QPSK point of the FEC ladder
+    plen = np.full(B, int(fec["user_bytes_tab"][2]), np.int32)
+    maxb = fec["max_payload_bytes"]
+    payload = np.zeros((B, maxb), np.uint8)
+    for i in range(B):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+
+    @jax.jit
+    def make_stream(payload, plen, cnst, frame_no, key):
+        out = transmitter.tx_frames(txp, payload, plen, cnst,
+                                    jnp.zeros(B, jnp.int32), frame_no, key)
+        return channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1),
+                            0.05)
+
+    stream = make_stream(jnp.asarray(payload), jnp.asarray(plen),
+                         jnp.asarray(cnst),
+                         jnp.arange(B, dtype=jnp.int32) % 4096,
+                         jax.random.PRNGKey(0))
+    n_samples = B * rxcfg.frame_samples
+
+    INNER = 4
+
+    @jax.jit
+    def rx_chained(stream):
+        def body(i, acc):
+            s = jnp.roll(stream, i)
+            frames, _ = receiver.detect_and_extract(s, rxcfg, B)
+            r = receiver.rx_frames(rxp, frames)
+            return acc + jnp.sum(r.crc_ok)
+        return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
+
+    jax.block_until_ready(rx_chained(stream))
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = rx_chained(stream)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (iters * INNER)
+    coded_msps = n_samples / dt / 1e6
+
+    # ---- raw BP decoder throughput -----------------------------------
+    code = ldpc.build_ldpc(H)
+    CW = 2048  # codewords per step
+    msg = rng.randint(0, 2, size=(CW, code["K"])).astype(np.float32)
+    cws = jax.jit(lambda m: ldpc.encode(m, code))(jnp.asarray(msg))
+    # +-1 BPSK LLRs with noise
+    llr = jax.block_until_ready(
+        (1.0 - 2.0 * cws.astype(jnp.float32)) * 4.0
+        + jax.random.normal(jax.random.PRNGKey(2), cws.shape) * 0.5)
+
+    dec = jax.jit(lambda l: ldpc.decode(l, code, max_iters=15))
+    jax.block_until_ready(dec(llr))
+
+    @jax.jit
+    def dec_chained(llr):
+        def body(i, acc):
+            hard, it, ok = ldpc.decode(jnp.roll(llr, i, axis=0), code, 15)
+            return acc + jnp.sum(ok)
+        return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
+
+    jax.block_until_ready(dec_chained(llr))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = dec_chained(llr)
+    jax.block_until_ready(out)
+    dt_bp = (time.perf_counter() - t0) / (iters * INNER)
+    info_mbps = CW * code["K"] / dt_bp / 1e6
+
+    print(json.dumps({
+        "metric": "fec_path_throughput",
+        "coded_rx_msps": round(coded_msps, 2),
+        "ldpc_info_mbps": round(info_mbps, 2),
+        "unit": "Msamples/s | Mbit/s",
+        "extra": {"frames_per_step": B, "codewords_per_step": CW,
+                  "code": f"n={code['N']} k={code['K']}",
+                  "coded_step_ms": round(dt * 1e3, 3),
+                  "bp_step_ms": round(dt_bp * 1e3, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
