@@ -54,24 +54,33 @@ def initial_duplex_state(cfg, tables) -> DuplexState:
     return DuplexState(a=node(), b=node())
 
 
-def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float):
+def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
     """Jitted bidirectional session runner.
 
     Args:
       cfg: modem config (both nodes share it).
       noise_ab/noise_ba: AWGN noise voltage on the A->B / B->A links.
+      fec: optional fec_chain.build_fec table — runs the session on the
+        LDPC transport-block path (long headers); the MCS echo then also
+        carries the requested FEC scheme in the ``fec_feedback`` field
+        (ref fec_frame_bvb_impl.cc:178-201 switch semantics).
     Returns ``run(state, key, n_rounds)`` -> (state, telemetry dict of
     [n_rounds] arrays).
     """
-    txp = transmitter.build_tx(cfg)
-    rxp = receiver.build_rx(cfg)
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(cfg, fec)
     tables = adaptive.build_mcs_tables(cfg)
     bps_table = jnp.asarray(cn.BITS_PER_SYMBOL)
     cnst_of_mcs = jnp.asarray(tables["cnst"])
-    maxb = cfg.max_frame_bytes()
-    cap_per_bps = jnp.asarray(
-        [0] + [cfg.frame_bytes(b) - 4 for b in range(1, 5)], jnp.int32
-    )
+    fec_of_mcs = jnp.asarray(tables["fec"])
+    if fec is not None:
+        maxb = fec["max_payload_bytes"]
+        cap_per_bps = jnp.asarray(fec["user_bytes_tab"], jnp.int32)
+    else:
+        maxb = cfg.max_frame_bytes()
+        cap_per_bps = jnp.asarray(
+            [0] + [cfg.frame_bytes(b) - 4 for b in range(1, 5)], jnp.int32
+        )
 
     def send_one(node: NodeState, noise_v, key):
         """TX one frame from `node` with its current state."""
@@ -80,6 +89,9 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float):
         payload = jax.random.randint(kp, (1, maxb), 0, 256, dtype=jnp.int32).astype(
             jnp.uint8
         )
+        # contract: zero beyond payload_len (the framer random-pads the
+        # no-FEC tail itself; the FEC TB builder expects zeros)
+        payload = jnp.where(jnp.arange(maxb)[None, :] < plen, payload, 0)
         fb_cnst = cnst_of_mcs[node.fb.last]
         out = transmitter.tx_frames(
             txp,
@@ -89,6 +101,7 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float):
             fb_cnst[None],
             node.frame_no[None],
             kpad,
+            fec_feedback=fec_of_mcs[node.fb.last][None],
         )
         rxsamp = chan.awgn(kn, out.samples, noise_v)
         return rxsamp

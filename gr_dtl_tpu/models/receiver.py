@@ -38,6 +38,7 @@ class RxOut(NamedTuple):
     frame_no: jax.Array  # [B] int32
     cnst_id: jax.Array  # [B] int32 constellation used for the payload
     feedback_cnst: jax.Array  # [B] int32 peer's MCS request (in-band)
+    fec_echo: jax.Array  # [B] int32 peer's FEC-scheme request (FEC header)
     snr_db: jax.Array  # [B] float32 payload-equalizer SNR estimate
     noise_var: jax.Array  # [B] float32
     carr_offset: jax.Array  # [B] int32
@@ -183,6 +184,7 @@ def rx_frames(rxp, frames: jax.Array,
         frame_no=fields.frame_no,
         cnst_id=cnst,
         feedback_cnst=fields.feedback_cnst,
+        fec_echo=fields.fec_feedback,
         snr_db=pay_eq.snr_db,
         noise_var=pay_eq.noise_var,
         carr_offset=carr_off,

@@ -51,7 +51,8 @@ def build_tx(cfg, fec=None):
 
 def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
               cnst_id: jax.Array, feedback_cnst: jax.Array,
-              frame_no: jax.Array, key: jax.Array) -> TxOut:
+              frame_no: jax.Array, key: jax.Array,
+              fec_feedback: jax.Array | None = None) -> TxOut:
     """Modulate a batch of frames.
 
     Args:
@@ -64,6 +65,9 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
                     (in-band adaptation, ref packet_header.cc:174-175).
       frame_no:     [B] int32 (12-bit, wraps).
       key:          PRNG key for random padding.
+      fec_feedback: [B] int32 echo of the requested FEC scheme (FEC long
+                    header only; ref packet_header.cc:113-123 field map,
+                    fec_frame_bvb_impl.cc:178-201 switch semantics).
     """
     cfg = txp["cfg"]
     B = payload.shape[0]
@@ -95,7 +99,8 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
             cnst_id=cnst_id,
             feedback_cnst=feedback_cnst,
             tb_no=frame_no // W,  # TB (group) number
-            fec_feedback=jnp.zeros((B,), jnp.int32),
+            fec_feedback=(jnp.zeros((B,), jnp.int32) if fec_feedback is None
+                          else fec_feedback.astype(jnp.int32)),
             tb_offset=tb_offset,
             fec_scheme=jnp.ones((B,), jnp.int32),
             tb_payload=tb_payload,

@@ -50,11 +50,26 @@ def _moving_sum(x: jax.Array, w: int) -> jax.Array:
 def timing_metric(r: jax.Array, fft_len: int = 64):
     """Schmidl-Cox P(d) and M(d) over a sample stream.
 
+    On TPU with ``GR_DTL_TPU_PALLAS=1``, 1-D streams dispatch to the
+    fused Pallas kernel (ops/sync_pallas) — same outputs, one VMEM pass.
+
     Args:
       r: [..., N] complex64 stream.
     Returns (P, M): each [..., N - fft_len], where index d corresponds
     to a correlation window starting at sample d.
     """
+    import os
+
+    if (fft_len == 64 and r.ndim == 1
+            and os.environ.get("GR_DTL_TPU_PALLAS") == "1"):
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu:
+            from gr_dtl_tpu.ops import sync_pallas
+
+            return sync_pallas.timing_metric_pallas(r, fft_len)
     half = fft_len // 2
     lagged = jnp.conj(r[..., :-half]) * r[..., half:]  # [N-half]
     P = _moving_sum(lagged, half)  # [N-2*half+1]

@@ -10,9 +10,9 @@ into one VMEM-resident pass per block:
 - the stream is viewed as ``[rows, 128]`` lanes; the flat 32-sample lag
   is the lane-concat of ``x[:, 32:]`` with the next row's first 32
   lanes,
-- the 32-wide moving sums become two banded ``[128, 128]`` matmuls
-  (current row band + next-row spill band) — windowed sums on the MXU
-  instead of cumsums in HBM,
+- the 32-wide moving sums are shift-doubling reductions (5 lane-roll +
+  add steps) with a carried next-row plane for the cross-row spill —
+  no HBM cumsum passes,
 - P (complex, as two float planes) and M are produced in one pass.
 
 Outputs match ops/sync.timing_metric exactly (same definition:
@@ -40,57 +40,81 @@ _LANES = 128
 _HALF = 32  # repetition lag (fft_len // 2)
 
 
-@functools.lru_cache(maxsize=None)
-def _band_mats():
-    """B1[l', l] = 1 for l <= l' <= l+31 (same-row window part);
-    B2[l', l] = 1 for l' <= l - 97    (next-row spill part)."""
-    l = np.arange(_LANES)
-    lp = np.arange(_LANES)[:, None]
-    b1 = ((lp >= l[None, :]) & (lp <= l[None, :] + _HALF - 1)).astype(np.float32)
-    b2 = (lp <= l[None, :] - (_LANES - _HALF + 1)).astype(np.float32)
-    return b1, b2
-
-
-def _metric_kernel(re_ref, im_ref, re_halo_ref, im_halo_ref, b1_ref, b2_ref,
+def _metric_kernel(re_ref, im_ref, re_halo_ref, im_halo_ref,
                    p_re_ref, p_im_ref, m_ref, *, rows):
-    B1 = b1_ref[:, :]
-    B2 = b2_ref[:, :]
+    """All row/lane stitching is done with pltpu.roll + iota selects —
+    Mosaic rejects concatenates of refs with different sublane offsets
+    ("result/input offset mismatch on non-concat dimension")."""
+    xr = re_ref[:, :]
+    xi = im_ref[:, :]
+    # halo row 0 broadcast over the block (the halo block is 8 rows to
+    # satisfy sublane tiling; only its first row is needed — the
+    # window+lag lookahead is 63 samples < 128)
+    hr = jnp.broadcast_to(re_halo_ref[0:1, :], xr.shape)
+    hi = jnp.broadcast_to(im_halo_ref[0:1, :], xi.shape)
+    row = jax.lax.broadcasted_iota(jnp.int32, xr.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xr.shape, 1)
 
-    # stitch the halo's first row below the block: [rows+1, 128]
-    # (the halo block is 8 rows to satisfy TPU sublane tiling; only the
-    # first row is needed — lookahead is 63 samples < 128)
-    xr = jnp.concatenate([re_ref[:, :], re_halo_ref[:1, :]], axis=0)
-    xi = jnp.concatenate([im_ref[:, :], im_halo_ref[:1, :]], axis=0)
+    def nxt(x, h):
+        """Row i -> row i+1; the last row comes from the halo."""
+        return jnp.where(row == rows - 1, h,
+                         pltpu.roll(x, rows - 1, axis=0))
 
-    def up1(x):
-        # bring row i+1 to row i (pltpu.roll needs non-negative shifts)
-        return pltpu.roll(x, x.shape[0] - 1, axis=0)
+    xr_n = nxt(xr, hr)
+    xi_n = nxt(xi, hi)
 
-    def flat_shift32(x):
-        return jnp.concatenate([x[:, _HALF:], up1(x)[:, :_HALF]], axis=1)
+    def shift32(x, x_n):
+        """Flat 32-sample lag: lane l -> flat position l+32.  Lanes
+        < 96 read the same row (rolled); lanes >= 96 read the next
+        row's first 32 lanes."""
+        return jnp.where(lane < _LANES - _HALF,
+                         pltpu.roll(x, _LANES - _HALF, axis=1),
+                         pltpu.roll(x_n, _LANES - _HALF, axis=1))
 
-    sr = flat_shift32(xr)
-    si = flat_shift32(xi)
-    # c = conj(r) * r_shift32
-    c_re = xr * sr + xi * si
-    c_im = xr * si - xi * sr
-    e = sr * sr + si * si
+    def products(x_r, x_i, s_r, s_i):
+        # c = conj(r) * r_shift32 ; e = |r_shift32|^2
+        return (x_r * s_r + x_i * s_i,
+                x_r * s_i - x_i * s_r,
+                s_r * s_r + s_i * s_i)
 
-    def msum(x):
-        nxt = up1(x)
-        return (
-            jnp.dot(x, B1, preferred_element_type=jnp.float32)
-            + jnp.dot(nxt, B2, preferred_element_type=jnp.float32)
-        )
+    sr = shift32(xr, xr_n)
+    si = shift32(xi, xi_n)
+    c_re, c_im, e = products(xr, xi, sr, si)
+    # next-row copies of the products (the 32-wide window spills up to
+    # 31 flat positions into the next row).  The window sum only reads
+    # next-row lanes <= 30, which shift32 serves from the *same* row
+    # (lanes 32..62), so passing x_n for its own next-row argument is
+    # safe: the contaminated high lanes are never used.
+    sr_n = shift32(xr_n, xr_n)
+    si_n = shift32(xi_n, xi_n)
+    c_re_n, c_im_n, e_n = products(xr_n, xi_n, sr_n, si_n)
 
-    P_re = msum(c_re)
-    P_im = msum(c_im)
-    R = msum(e)
+    def msum(v, v_n):
+        """32-wide sliding window sum over the flat stream by
+        shift-doubling: after step k, v[i] = sum of 2^(k+1) consecutive
+        flat elements starting at i.  Cross-row reads use the carried
+        next-row plane; its own high lanes degrade by the cumulative
+        shift (< 32), which stays outside the lanes the final result
+        reads (<= 30) — same argument as above."""
+        for k in range(5):  # 2^5 = 32 = _HALF
+            s = 1 << k
+            rv = pltpu.roll(v, _LANES - s, axis=1)
+            rn = pltpu.roll(v_n, _LANES - s, axis=1)
+            sel = lane < _LANES - s
+            v = v + jnp.where(sel, rv, rn)
+            v_n = v_n + rn  # self-referential next-next row: lanes
+            #                 >= 128-s wrap within v_n, contaminating
+            #                 only lanes the result never reads
+        return v
+
+    P_re = msum(c_re, c_re_n)
+    P_im = msum(c_im, c_im_n)
+    R = msum(e, e_n)
     M = (P_re * P_re + P_im * P_im) / jnp.maximum(R * R, 1e-12)
 
-    p_re_ref[:, :] = P_re[:rows]
-    p_im_ref[:, :] = P_im[:rows]
-    m_ref[:, :] = M[:rows]
+    p_re_ref[:, :] = P_re
+    p_im_ref[:, :] = P_im
+    m_ref[:, :] = M
 
 
 def timing_metric_pallas(r: jax.Array, fft_len: int = 64,
@@ -123,8 +147,6 @@ def timing_metric_pallas(r: jax.Array, fft_len: int = 64,
             pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0)),
             pl.BlockSpec((8, _LANES), lambda i: ((i + 1) * block_rows // 8, 0)),
             pl.BlockSpec((8, _LANES), lambda i: ((i + 1) * block_rows // 8, 0)),
-            pl.BlockSpec((_LANES, _LANES), lambda i: (0, 0)),
-            pl.BlockSpec((_LANES, _LANES), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0)),
@@ -137,20 +159,23 @@ def timing_metric_pallas(r: jax.Array, fft_len: int = 64,
             jax.ShapeDtypeStruct((n_blocks * block_rows, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(re_in, im_in, re, im, *(jnp.asarray(b) for b in _band_mats()))
+    )(re_in, im_in, re, im)
     P = (p_re + 1j * p_im).reshape(-1)[:out_len]
     M = m.reshape(-1)[:out_len]
     return P.astype(jnp.complex64), M
 
 
 def timing_metric(r: jax.Array, fft_len: int = 64):
-    """Dispatch: Pallas kernel on TPU (opt-in), jnp elsewhere.
+    """Dispatch: Pallas kernel on TPU (opt-in via GR_DTL_TPU_PALLAS=1),
+    jnp elsewhere.
 
-    The kernel is gated behind ``GR_DTL_TPU_PALLAS=1`` because some TPU
-    access paths (e.g. the axon remote-compile tunnel used in this
-    repo's CI environment) cannot compile Mosaic kernels even though
-    regular XLA works; the XLA path already exceeds the throughput
-    target, so the kernel is a further optimization where available.
+    Measured on one v5e chip (2026-08-18): standalone on a 2M-sample
+    stream the kernel edges out the XLA path (301 vs 292 Gsamples/s,
+    both HBM-bound); *inside* the full receiver pipeline XLA's fusion
+    of the jnp formulation with its neighbours wins (62 vs 42
+    Gsamples/s end-to-end at 256-frame batches), so the jnp path is the
+    default and the kernel is the right choice only for long-stream
+    detection-only workloads.
     """
     import os
 

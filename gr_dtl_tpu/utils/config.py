@@ -217,9 +217,13 @@ _CNST_NAMES = {
 
 def _parse_mcs(v):
     """JSON mcs entries [[snr, [name, fec]], ...] -> typed tuples
-    (ref ofdm_adaptive_config.py:71-78)."""
+    (ref ofdm_adaptive_config.py:71-78).  Already-typed
+    ConstellationType entries (kwargs overrides) pass through."""
     return tuple(
-        (float(snr), (_CNST_NAMES[str(cnst).lower()], fec)) for snr, (cnst, fec) in v
+        (float(snr),
+         (cnst if isinstance(cnst, ConstellationType)
+          else _CNST_NAMES[str(cnst).lower()], fec))
+        for snr, (cnst, fec) in v
     )
 
 

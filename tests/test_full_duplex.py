@@ -35,3 +35,35 @@ def test_asymmetric_convergence():
     # data keeps flowing at the end in both directions
     assert np.asarray(telem["b_crc_ok"])[-8:].all()
     assert np.asarray(telem["a_crc_ok"])[-8:].all()
+
+
+def test_fec_full_duplex_adaptation():
+    """Full duplex on the LDPC transport-block path: adaptation rides
+    the long header (constellation echo + fec_feedback field)."""
+    import os
+
+    from gr_dtl_tpu.utils import alist as alist_mod
+    from gr_dtl_tpu.models import fec_chain, receiver
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0100_k_0027.alist"))
+    cfg = cfgmod.make_full_duplex_config(
+        None, frame_length=10, fec=True,
+        fec_codes=(("fec_1", "examples/n_0100_k_0027.alist"),),
+        mcs=((1e-308, (C.BPSK, "fec_1")), (11.0, (C.QPSK, "fec_1")),
+             (16.0, (C.PSK8, "fec_1")), (21.0, (C.QAM16, "fec_1"))))
+    fec = fec_chain.build_fec(cfg, H)
+    run, tables = full_duplex.build_full_duplex(
+        cfg, noise_ab=0.02, noise_ba=0.35, fec=fec)
+    state = full_duplex.initial_duplex_state(cfg, tables)
+    state, telem = run(state, jax.random.PRNGKey(1), n_rounds=40)
+
+    a_tx = np.asarray(telem["a_tx_cnst"])
+    b_tx = np.asarray(telem["b_tx_cnst"])
+    # clean A->B: A's TX climbs; noisy B->A (~9 dB): B stays at BPSK
+    assert a_tx[0] == int(C.BPSK)
+    assert a_tx[-1] > int(C.BPSK), (a_tx, np.asarray(telem["snr_at_b"]))
+    assert b_tx[-1] == int(C.BPSK), (b_tx, np.asarray(telem["snr_at_a"]))
+    # coded frames still decode at the end of the run
+    assert np.asarray(telem["b_crc_ok"])[-4:].all()

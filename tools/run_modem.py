@@ -110,10 +110,17 @@ def run_full_duplex(args):
     from gr_dtl_tpu.models import full_duplex
 
     cfg = cfgmod.make_full_duplex_config(args.config, frame_length=args.frame_length)
+    fec = None
+    if cfg.fec:
+        from gr_dtl_tpu.utils import alist as alist_mod
+        from gr_dtl_tpu.models import fec_chain
+
+        name, path = cfg.fec_codes[0]
+        fec = fec_chain.build_fec(cfg, alist_mod.load_alist(path))
     # convert SNRs to noise voltages against unit-ish signal power (~0.81)
     nv = lambda snr: float(np.sqrt(0.81 / 10 ** (snr / 10)))
     run, tables = full_duplex.build_full_duplex(
-        cfg, noise_ab=nv(args.snr_db), noise_ba=nv(args.snr_db_reverse)
+        cfg, noise_ab=nv(args.snr_db), noise_ba=nv(args.snr_db_reverse), fec=fec
     )
     state = full_duplex.initial_duplex_state(cfg, tables)
     state, telem = run(state, jax.random.PRNGKey(args.seed), n_rounds=args.rounds)
