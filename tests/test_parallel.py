@@ -58,6 +58,42 @@ def test_sharded_rx_matches_reference_path():
     np.testing.assert_array_equal(np.asarray(ref.payload), payload[0])
 
 
+def test_sharded_loopback_full_step():
+    """TX + channel + RX as ONE SPMD program over the (stream, time)
+    mesh: per-shard modulation, ppermute halo, psum phase vote."""
+    assert jax.device_count() >= 8
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10)
+    m = meshmod.make_mesh(n_stream=2, n_time=4)
+    n_streams, fpb, n_time = 2, 2, 4
+    frames_per_stream = fpb * n_time
+
+    rng = np.random.RandomState(21)
+    maxb = txcfg.max_frame_bytes()
+    cnst = rng.randint(1, 5, (n_streams, frames_per_stream)).astype(np.int32)
+    plen = np.zeros((n_streams, frames_per_stream), np.int32)
+    payload = np.zeros((n_streams, frames_per_stream, maxb), np.uint8)
+    for s in range(n_streams):
+        for f in range(frames_per_stream):
+            plen[s, f] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[s, f]])) - 4
+            payload[s, f, : plen[s, f]] = rng.randint(0, 256, plen[s, f])
+    frame_no = np.tile(np.arange(frames_per_stream, dtype=np.int32),
+                       (n_streams, 1))
+
+    step, _ = pstream.build_sharded_loopback(
+        txcfg, rxcfg, m, frames_per_block=fpb, noise_v=0.02)
+    out = step(jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+               jnp.asarray(frame_no), jax.random.PRNGKey(5))
+    crc_ok = np.asarray(out.crc_ok)
+    assert crc_ok.shape == (n_streams, frames_per_stream)
+    assert crc_ok.all(), f"failures: {np.argwhere(~crc_ok)}"
+    pay = np.asarray(out.payload)
+    for s in range(n_streams):
+        for f in range(frames_per_stream):
+            np.testing.assert_array_equal(
+                pay[s, f, : plen[s, f]], payload[s, f, : plen[s, f]])
+
+
 def test_64_streams_pod_config():
     """BASELINE config 5: 64 parallel adaptive-OFDM streams sharded over
     a (stream x time) mesh with halo exchange, mixed MCS per frame."""
