@@ -56,57 +56,78 @@ class FecFrameOut(NamedTuple):
     tb_payload_len: jax.Array  # [B] bits
 
 
-def build_fec(cfg, H: np.ndarray, tb_frames: int = 1):
-    """Precompute FEC-chain constants for a config + parity matrix.
+def build_fec(cfg, H, tb_frames: int = 1):
+    """Precompute FEC-chain constants for a config + parity matrix(es).
 
     Args:
+      H: one parity-check matrix, or a list of them — a **code bank**
+        mirroring the reference's 1-indexed encoder/decoder vector
+        (``ldpc_enc.cc:21-30``); per-frame ``fec_id`` then selects the
+        code inside the jitted graph (the reference switches codes per
+        TB from the MCS/feedback, fec_frame_bvb_impl.cc:178-201).
+        Single-H tables are the bank's code 1, so all single-code call
+        sites keep working unchanged.
       tb_frames: frames per transport block (W).  W = 1 reproduces the
         reference's small-TB-per-frame case; W > 1 gives the reference's
         multi-frame TBs (tb_decoder.cc reassembly across frames), here
         with TBs aligned to W-frame groups so the whole group decodes in
         one static-shape batch.  All tables below are *group*-level.
     """
-    code = ldpc.build_ldpc(H)
-    n, k, m = code["N"], code["K"], code["M"]
+    Hs = H if isinstance(H, (list, tuple)) else [H]
+    bank = ldpc.build_ldpc_bank([np.asarray(h) for h in Hs])
+    C = bank["n_codes"]
     cap_syms = cfg.frame_capacity_symbols
     W = int(tb_frames)
     max_frame_bits = cap_syms * cn.MAX_BPS
     max_group_bits = W * max_frame_bits
 
-    def ncws_of_bits(nbits: int) -> int:
-        return 1 + nbits // n if nbits > n else 1
-
-    max_ncws = ncws_of_bits(max_group_bits)
-    # per-bps static tables (bps 0..4); frame_bits per single frame,
+    # per-(code, bps) static tables; frame_bits per single frame,
     # everything else per W-frame group
     frame_bits_tab = np.array([0] + [cap_syms * b for b in range(1, 5)], np.int32)
     group_bits_tab = W * frame_bits_tab
-    ncws_tab = np.array(
-        [1] + [ncws_of_bits(int(gb)) for gb in group_bits_tab[1:]], np.int32
-    )
-    # user payload bits: what's left after check bits, byte-aligned,
-    # minus the CRC32
-    tb_payload_tab = np.zeros(5, np.int32)
-    user_bytes_tab = np.zeros(5, np.int32)
-    for b in range(1, 5):
-        avail = int(group_bits_tab[b]) - int(ncws_tab[b]) * m
-        user_bytes = avail // 8 - CRC_LEN_BITS // 8
-        assert user_bytes > 0, "frame group too small for this code"
-        user_bytes_tab[b] = user_bytes
-        tb_payload_tab[b] = user_bytes * 8 + CRC_LEN_BITS
+    ncws_tab2 = np.zeros((C + 1, 5), np.int32)
+    tb_payload_tab2 = np.zeros((C + 1, 5), np.int32)
+    user_bytes_tab2 = np.zeros((C + 1, 5), np.int32)
+    for ci in range(1, C + 1):
+        n_c = int(bank["n_tab"][ci])
+        m_c = int(bank["m_tab"][ci])
+        ncws_tab2[ci, 0] = 1
+        for b in range(1, 5):
+            gb = int(group_bits_tab[b])
+            ncws = 1 + gb // n_c if gb > n_c else 1
+            # user payload bits: what's left after check bits,
+            # byte-aligned, minus the CRC32
+            avail = gb - ncws * m_c
+            user_bytes = avail // 8 - CRC_LEN_BITS // 8
+            assert user_bytes > 0, "frame group too small for this code"
+            ncws_tab2[ci, b] = ncws
+            user_bytes_tab2[ci, b] = user_bytes
+            tb_payload_tab2[ci, b] = user_bytes * 8 + CRC_LEN_BITS
+    ncws_tab2[0] = ncws_tab2[1]
+    tb_payload_tab2[0] = tb_payload_tab2[1]
+    user_bytes_tab2[0] = user_bytes_tab2[1]
 
-    max_payload_bytes = int(user_bytes_tab.max())
+    max_ncws = int(ncws_tab2.max())
+    max_payload_bytes = int(user_bytes_tab2.max())
+    code = bank["codes"][0]
     return {
         "cfg": cfg,
+        "bank": bank,
+        "n_codes": C,
+        # legacy single-code views (= code 1) keep existing call sites
+        # and the fec_id=None paths working unchanged
         "code": code,
-        "n": n, "k": k, "m": m,
+        "n": code["N"], "k": code["K"], "m": code["M"],
         "W": W,
         "max_ncws": max_ncws,
         "frame_bits_tab": frame_bits_tab,
         "group_bits_tab": group_bits_tab,
-        "ncws_tab": ncws_tab,
-        "tb_payload_tab": tb_payload_tab,
-        "user_bytes_tab": user_bytes_tab,
+        "ncws_tab": ncws_tab2[1],
+        "tb_payload_tab": tb_payload_tab2[1],
+        "user_bytes_tab": user_bytes_tab2[1],
+        "ncws_tab2": ncws_tab2,
+        "tb_payload_tab2": tb_payload_tab2,
+        "user_bytes_tab2": user_bytes_tab2,
         "max_payload_bytes": max_payload_bytes,
         "max_frame_bits": max_frame_bits,
         "max_group_bits": max_group_bits,
@@ -116,31 +137,38 @@ def build_fec(cfg, H: np.ndarray, tb_frames: int = 1):
     }
 
 
-def _cw_schedule(fec, bps: jax.Array):
+def _cw_schedule(fec, bps: jax.Array, fec_id: jax.Array | None = None):
     """Vectorized per-frame codeword schedule.
 
     Args:
       bps: [B] int32.
+      fec_id: optional [B] 1-based code ids (code bank); None = code 1.
     Returns dict of [B, max_ncws] arrays: k_prime, cw_start (bit offset
     of each codeword in the frame), sys_start (bit offset of each cw's
-    systematic bits within the TB payload), real (mask of actual cws).
+    systematic bits within the TB payload), real (mask of actual cws);
+    plus per-frame scalars m ([B] check bits) and ncws/payload_bits.
     """
-    m = fec["m"]
-    ncws = jnp.asarray(fec["ncws_tab"])[bps]  # [B]
-    P = jnp.asarray(fec["tb_payload_tab"])[bps]  # [B] payload bits
+    if fec_id is None:
+        m = jnp.full(bps.shape, fec["m"], jnp.int32)
+        ncws = jnp.asarray(fec["ncws_tab"])[bps]  # [B]
+        P = jnp.asarray(fec["tb_payload_tab"])[bps]  # [B] payload bits
+    else:
+        m = jnp.asarray(fec["bank"]["m_tab"])[fec_id]
+        ncws = jnp.asarray(fec["ncws_tab2"])[fec_id, bps]
+        P = jnp.asarray(fec["tb_payload_tab2"])[fec_id, bps]
     i = jnp.arange(fec["max_ncws"], dtype=jnp.int32)[None, :]  # [1, C]
     real = i < ncws[:, None]
     # balanced shortening, closed form of tb_encoder.cc:48-52
     k_prime = jnp.where(real, (P[:, None] - i + ncws[:, None] - 1) // ncws[:, None], 0)
     sys_start = jnp.cumsum(k_prime, axis=1) - k_prime
-    cw_len = jnp.where(real, k_prime + m, 0)
+    cw_len = jnp.where(real, k_prime + m[:, None], 0)
     cw_start = jnp.cumsum(cw_len, axis=1) - cw_len
     return {"k_prime": k_prime, "cw_start": cw_start, "sys_start": sys_start,
-            "real": real, "ncws": ncws, "payload_bits": P}
+            "real": real, "ncws": ncws, "payload_bits": P, "m": m}
 
 
 def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
-                    cnst_id: jax.Array):
+                    cnst_id: jax.Array, fec_id: jax.Array | None = None):
     """TX: user bytes -> frame bit stream (LDPC-coded, shortened).
 
     Args:
@@ -157,6 +185,10 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
                    constellation from cnst_id[g*W] (must be uniform
                    within a group, like the reference which switches
                    MCS only between TBs).
+      fec_id:      optional [B] 1-based code ids into the fec bank —
+                   per-frame code selection inside the jitted graph
+                   (ref fec_frame_bvb_impl.cc:178-201).  None = code 1
+                   via the (cheaper) shared-constant path.
     Returns (frame_bits [B, max_frame_bits] int32, tb_payload_len [B]).
     """
     code = fec["code"]
@@ -167,10 +199,12 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
         payload = payload[::W]
         payload_len = payload_len[::W]
         cnst_id = cnst_id[::W]
+        if fec_id is not None:
+            fec_id = fec_id[::W]
         B = payload.shape[0]  # group count from here on
     m, k, n = fec["m"], fec["k"], fec["n"]
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
-    sched = _cw_schedule(fec, bps)
+    sched = _cw_schedule(fec, bps, fec_id)
 
     # TB payload bits: [payload bytes | crc32], LSB-first bit order
     pay_padded = jnp.pad(
@@ -191,30 +225,62 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
         jnp.where(x < Lbits + 32, jnp.take_along_axis(crc_bits, crc_idx, axis=1), 0),
     ).astype(jnp.int32)
 
-    # per-cw systematic messages [B, C, K]
-    t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    sys_idx = jnp.clip(sched["sys_start"][:, :, None] + t, 0, maxP - 1)
-    msgs = jnp.take_along_axis(
-        tb_bits[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(B * fec["max_ncws"], maxP),
-        sys_idx.reshape(B * fec["max_ncws"], k),
-        axis=1,
-    ).reshape(B, fec["max_ncws"], k)
-    msgs = jnp.where(t < sched["k_prime"][:, :, None], msgs, 0)
+    Cmax = fec["max_ncws"]
+    if fec_id is None:
+        # per-cw systematic messages [B, C, K]
+        t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+        sys_idx = jnp.clip(sched["sys_start"][:, :, None] + t, 0, maxP - 1)
+        msgs = jnp.take_along_axis(
+            tb_bits[:, None, :].repeat(Cmax, axis=1).reshape(B * Cmax, maxP),
+            sys_idx.reshape(B * Cmax, k),
+            axis=1,
+        ).reshape(B, Cmax, k)
+        msgs = jnp.where(t < sched["k_prime"][:, :, None], msgs, 0)
 
-    cws = ldpc.encode(msgs.reshape(-1, k).astype(jnp.float32), code)
-    cws = cws.reshape(B, fec["max_ncws"], n)
+        cws = ldpc.encode(msgs.reshape(-1, k).astype(jnp.float32), code)
+        cws = cws.reshape(B, Cmax, n)
+        n_tx = n
+        tx_cws = cws  # already in [check | systematic] tx layout
+        m_col = m
+    else:
+        # bank path: padded cw layout [parity: Mmax | sys: Kmax]
+        bank = fec["bank"]
+        Kmax, Mmax, Nmax = bank["Kmax"], bank["Mmax"], bank["Nmax"]
+        t = jnp.arange(Kmax, dtype=jnp.int32)[None, None, :]
+        sys_idx = jnp.clip(sched["sys_start"][:, :, None] + t, 0, maxP - 1)
+        msgs = jnp.take_along_axis(
+            tb_bits[:, None, :].repeat(Cmax, axis=1).reshape(B * Cmax, maxP),
+            sys_idx.reshape(B * Cmax, Kmax),
+            axis=1,
+        ).reshape(B, Cmax, Kmax)
+        msgs = jnp.where(t < sched["k_prime"][:, :, None], msgs, 0)
+        code_idx = jnp.repeat(fec_id, Cmax)
+        cws = ldpc.encode_bank(msgs.reshape(-1, Kmax), code_idx, bank)
+        cws = cws.reshape(B, Cmax, Nmax)
+        # reorder to the transmitted [m_b checks | k' systematic] view:
+        # tx bit j <- padded slot (j if j < m_b else Mmax + j - m_b)
+        n_tx = Nmax
+        jj = jnp.arange(Nmax, dtype=jnp.int32)[None, None, :]
+        m_b = sched["m"][:, None, None]
+        src = jnp.where(jj < m_b, jj, jnp.clip(Mmax + jj - m_b, 0, Nmax - 1))
+        tx_cws = jnp.take_along_axis(
+            cws.reshape(B * Cmax, Nmax),
+            jnp.broadcast_to(src, (B, Cmax, Nmax)).reshape(B * Cmax, Nmax),
+            axis=1,
+        ).reshape(B, Cmax, Nmax)
+        m_col = sched["m"][:, None, None]
 
     # scatter transmitted bits [ncheck | k'] into the group bit stream
     G = payload.shape[0]
-    j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
-    send = (j < m + sched["k_prime"][:, :, None]) & sched["real"][:, :, None]
+    j = jnp.arange(n_tx, dtype=jnp.int32)[None, None, :]
+    send = (j < m_col + sched["k_prime"][:, :, None]) & sched["real"][:, :, None]
     pos = sched["cw_start"][:, :, None] + j
     maxG = fec["max_group_bits"]
     pos = jnp.where(send, pos, maxG)  # parked slot dropped below
     group_bits = jnp.zeros((G, maxG + 1), jnp.int32)
     group_bits = group_bits.at[
         jnp.arange(G)[:, None, None], pos
-    ].set(cws)
+    ].set(tx_cws)
     group_bits = group_bits[:, :maxG]
     # the header's fec_tb_payload field carries the ACTUAL payload bits
     # (user bytes + CRC32) so partially filled frames decode correctly;
@@ -240,7 +306,8 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
 
 
 def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
-                     tb_payload_len: jax.Array | None = None) -> FecFrameOut:
+                     tb_payload_len: jax.Array | None = None,
+                     fec_id: jax.Array | None = None) -> FecFrameOut:
     """RX: per-frame LLR stream -> decoded user bytes.
 
     Args:
@@ -250,11 +317,15 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
       cnst_id: [B] constellation used by each frame.
       tb_payload_len: [B] bits from the header's fec_tb_payload field;
                defaults to the full-frame value for the bps.
+      fec_id:  optional [B] 1-based code ids (from the header's
+               fec_scheme field); None = code 1.
     """
     code = fec["code"]
     W = fec["W"]
     B = llrs.shape[0]
     assert B % W == 0, "batch must be a multiple of tb_frames"
+    if fec_id is not None and W > 1:
+        fec_id = fec_id[::W]
     if W > 1:
         # reassemble group LLR streams from W consecutive frames
         # (the reference's tb_decoder RCV_BUF accumulation across
@@ -277,26 +348,59 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
             tb_payload_len = tb_payload_len[::W]
     m, k, n = fec["m"], fec["k"], fec["n"]
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst_id]
-    sched = _cw_schedule(fec, bps)
+    sched = _cw_schedule(fec, bps, fec_id)
+    Cmax = fec["max_ncws"]
 
     G = llrs.shape[0]  # groups (== B when W == 1)
-    # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
-    j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
-    sent = j < m + sched["k_prime"][:, :, None]
-    pos = jnp.clip(sched["cw_start"][:, :, None] + j, 0, llrs.shape[1] - 1)
-    cw_llrs = jnp.take_along_axis(
-        llrs[:, None, :].repeat(fec["max_ncws"], axis=1).reshape(G * fec["max_ncws"], -1),
-        pos.reshape(G * fec["max_ncws"], n),
-        axis=1,
-    ).reshape(G, fec["max_ncws"], n)
-    cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
+    if fec_id is None:
+        # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
+        j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+        sent = j < m + sched["k_prime"][:, :, None]
+        pos = jnp.clip(sched["cw_start"][:, :, None] + j, 0, llrs.shape[1] - 1)
+        cw_llrs = jnp.take_along_axis(
+            llrs[:, None, :].repeat(Cmax, axis=1).reshape(G * Cmax, -1),
+            pos.reshape(G * Cmax, n),
+            axis=1,
+        ).reshape(G, Cmax, n)
+        cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
-    bits, iters, ok = ldpc.decode(
-        cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
-    )
-    bits = bits.reshape(G, fec["max_ncws"], n)
-    iters = iters.reshape(G, fec["max_ncws"])
-    ok = ok.reshape(G, fec["max_ncws"])
+        bits, iters, ok = ldpc.decode(
+            cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
+        )
+        bits = bits.reshape(G, Cmax, n)
+        sys_bits = bits[:, :, m:]  # [G, C, k]
+        k_sys = k
+    else:
+        # bank path: padded layout [parity: Mmax | sys: Kmax].  Padded
+        # slot p maps to frame bit cw_start + p (parity, sent iff
+        # p < m_b) or cw_start + m_b + (p - Mmax) (systematic, sent iff
+        # p - Mmax < k'); everything unsent is pinned shortened.
+        bank = fec["bank"]
+        Kmax, Mmax, Nmax = bank["Kmax"], bank["Mmax"], bank["Nmax"]
+        p = jnp.arange(Nmax, dtype=jnp.int32)[None, None, :]
+        m_b = sched["m"][:, None, None]
+        kp = sched["k_prime"][:, :, None]
+        is_par = p < Mmax
+        tsys = p - Mmax
+        sent = jnp.where(is_par, p < m_b, tsys < kp) & sched["real"][:, :, None]
+        off = sched["cw_start"][:, :, None] + jnp.where(is_par, p, m_b + tsys)
+        pos = jnp.clip(off, 0, llrs.shape[1] - 1)
+        cw_llrs = jnp.take_along_axis(
+            llrs[:, None, :].repeat(Cmax, axis=1).reshape(G * Cmax, -1),
+            jnp.broadcast_to(pos, (G, Cmax, Nmax)).reshape(G * Cmax, Nmax),
+            axis=1,
+        ).reshape(G, Cmax, Nmax)
+        cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
+
+        code_idx = jnp.repeat(fec_id, Cmax)
+        bits, iters, ok = ldpc.decode_bank(
+            cw_llrs.reshape(-1, Nmax).astype(jnp.float32), code_idx, bank,
+            max_iters=15)
+        bits = bits.reshape(G, Cmax, Nmax)
+        sys_bits = bits[:, :, Mmax:]  # [G, C, Kmax]
+        k_sys = Kmax
+    iters = iters.reshape(G, Cmax)
+    ok = ok.reshape(G, Cmax)
 
     real = sched["real"]
     fec_ok = jnp.all(ok | ~real, axis=1)
@@ -305,11 +409,11 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
 
     # reassemble TB payload bits from systematic parts
     maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
-    t = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    t = jnp.arange(k_sys, dtype=jnp.int32)[None, None, :]
     take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
     dst = jnp.where(take, sched["sys_start"][:, :, None] + t, maxP)
     tb_bits = jnp.zeros((G, maxP + 1), jnp.int32)
-    tb_bits = tb_bits.at[jnp.arange(G)[:, None, None], dst].set(bits[:, :, m:])
+    tb_bits = tb_bits.at[jnp.arange(G)[:, None, None], dst].set(sys_bits)
     tb_bits = tb_bits[:, :maxP]
 
     P = tb_payload_len if tb_payload_len is not None else sched["payload_bits"]

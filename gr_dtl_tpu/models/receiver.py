@@ -156,7 +156,18 @@ def rx_frames(rxp, frames: jax.Array,
         # header-announced TB payload length, gated on header CRC
         default_P = jnp.asarray(rxp["fec"]["tb_payload_tab"])[bps]
         P = jnp.where(header_ok, fields.tb_payload, default_P)
-        fec_out = fec_chain.fec_frame_decode(rxp["fec"], llrs, cnst, P)
+        if rxp["fec"].get("n_codes", 1) > 1:
+            # code-bank FEC: the header's fec_scheme field selects the
+            # LDPC code per frame (gated on header CRC; default code 1)
+            n_codes = rxp["fec"]["n_codes"]
+            fid = jnp.where(
+                header_ok & (fields.fec_scheme >= 1)
+                & (fields.fec_scheme <= n_codes),
+                fields.fec_scheme, 1)
+            fec_out = fec_chain.fec_frame_decode(
+                rxp["fec"], llrs, cnst, P, fec_id=fid)
+        else:
+            fec_out = fec_chain.fec_frame_decode(rxp["fec"], llrs, cnst, P)
         payload = fec_out.payload
         payload_len = fec_out.payload_len
         crc_ok = fec_out.crc_ok & header_ok

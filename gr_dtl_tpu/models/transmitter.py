@@ -52,7 +52,8 @@ def build_tx(cfg, fec=None):
 def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
               cnst_id: jax.Array, feedback_cnst: jax.Array,
               frame_no: jax.Array, key: jax.Array,
-              fec_feedback: jax.Array | None = None) -> TxOut:
+              fec_feedback: jax.Array | None = None,
+              fec_id: jax.Array | None = None) -> TxOut:
     """Modulate a batch of frames.
 
     Args:
@@ -68,6 +69,9 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
       fec_feedback: [B] int32 echo of the requested FEC scheme (FEC long
                     header only; ref packet_header.cc:113-123 field map,
                     fec_frame_bvb_impl.cc:178-201 switch semantics).
+      fec_id:       [B] int32 1-based LDPC code ids (code-bank FEC);
+                    announced in the header's fec_scheme field.  None =
+                    code 1.
     """
     cfg = txp["cfg"]
     B = payload.shape[0]
@@ -80,7 +84,7 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
         from gr_dtl_tpu.models import fec_chain
 
         frame_bits, tb_payload = fec_chain.fec_frame_build(
-            txp["fec"], payload, payload_len, cnst_id
+            txp["fec"], payload, payload_len, cnst_id, fec_id=fec_id
         )
         frame = repack.bits_to_bytes(frame_bits.astype(jnp.uint8))
         l_total = payload_len + framing.CRC_LEN
@@ -102,7 +106,8 @@ def tx_frames(txp, payload: jax.Array, payload_len: jax.Array,
             fec_feedback=(jnp.zeros((B,), jnp.int32) if fec_feedback is None
                           else fec_feedback.astype(jnp.int32)),
             tb_offset=tb_offset,
-            fec_scheme=jnp.ones((B,), jnp.int32),
+            fec_scheme=(jnp.ones((B,), jnp.int32) if fec_id is None
+                        else fec_id.astype(jnp.int32)),
             tb_payload=tb_payload,
         )
     else:

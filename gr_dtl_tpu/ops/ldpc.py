@@ -36,7 +36,8 @@ import numpy as np
 
 from gr_dtl_tpu.ops import gf2
 
-__all__ = ["build_ldpc", "encode", "decode", "SHORTENED_LLR"]
+__all__ = ["build_ldpc", "encode", "decode", "SHORTENED_LLR",
+           "build_ldpc_bank", "encode_bank", "decode_bank"]
 
 SHORTENED_LLR = 15.0
 
@@ -215,6 +216,151 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
     )
     inc = gather_c2v_for_vars(c2v)
     inc = jnp.where(var_mask[None], inc, 0.0)
+    total = llr + jnp.sum(inc, axis=-1)
+    hard = (total < 0).astype(jnp.int32)
+    ok = done | syndrome_ok_of(total)
+    return hard, iters_used, ok
+
+
+# ---------------------------------------------------------------------------
+# Code bank: several codes, per-codeword selection inside one jitted graph
+# (the reference holds a 1-indexed vector of encoders/decoders and switches
+# per transport block from the MCS/feedback, ldpc_enc.cc:21-30,
+# ofdm_adaptive_fec_frame_bvb_impl.cc:178-201)
+# ---------------------------------------------------------------------------
+
+def build_ldpc_bank(Hs: list[np.ndarray]):
+    """Stack several codes into padded constant tables.
+
+    All codes share a padded transmitted layout
+    ``[parity: Mmax | systematic: Kmax]`` (code c's real slots are
+    ``parity[:M_c]`` and ``sys[:K_c]``); adjacency indices are remapped
+    into that layout at build time.  Code ids are **1-based** like the
+    reference's encoder vector (``ldpc_enc.cc:21-30``, index 0 =
+    nullptr); row 0 of every table is a copy of code 1 so a stray id 0
+    gathers something harmless.
+    """
+    codes = [build_ldpc(H) for H in Hs]
+    C = len(codes)
+    Mmax = max(c["M"] for c in codes)
+    Kmax = max(c["K"] for c in codes)
+    Nmax = Mmax + Kmax
+    Rmax = max(c["chk_adj"].shape[1] for c in codes)
+    Dmax = max(c["var_edges"].shape[1] for c in codes)
+
+    chk_adj = np.full((C + 1, Mmax, Rmax), -1, np.int32)
+    var_edges = np.full((C + 1, Nmax, Dmax, 2), -1, np.int32)
+    rev = np.zeros((C + 1, Mmax, Rmax, 2), np.int32)
+    A = np.zeros((C + 1, Mmax, Kmax), np.float32)
+    n_tab = np.zeros(C + 1, np.int32)
+    k_tab = np.zeros(C + 1, np.int32)
+    m_tab = np.zeros(C + 1, np.int32)
+
+    for ci, code in enumerate(codes, start=1):
+        M, K = code["M"], code["K"]
+
+        def remap(idx):
+            # code tx position -> padded tx position
+            return np.where(idx < M, idx, Mmax + (idx - M))
+
+        ca = code["chk_adj"]
+        chk_adj[ci, :M, : ca.shape[1]] = np.where(ca >= 0, remap(ca), -1)
+        ve = code["var_edges"]
+        for v in range(code["N"]):
+            pv = int(remap(np.int64(v)))
+            var_edges[ci, pv, : ve.shape[1]] = ve[v]
+        # reverse map (check, slot) -> (padded var, var slot)
+        for v in range(code["N"]):
+            pv = int(remap(np.int64(v)))
+            for s in range(ve.shape[1]):
+                r, slot = ve[v, s]
+                if r >= 0:
+                    rev[ci, r, slot] = (pv, s)
+        A[ci, :M, :K] = code["A"]
+        n_tab[ci], k_tab[ci], m_tab[ci] = code["N"], code["K"], code["M"]
+
+    # row 0 = code 1 (harmless gather target for id 0)
+    chk_adj[0], var_edges[0], rev[0], A[0] = (
+        chk_adj[1], var_edges[1], rev[1], A[1])
+    n_tab[0], k_tab[0], m_tab[0] = n_tab[1], k_tab[1], m_tab[1]
+
+    return {
+        "n_codes": C, "Mmax": Mmax, "Kmax": Kmax, "Nmax": Nmax,
+        "chk_adj": chk_adj, "chk_mask": chk_adj >= 0,
+        "var_edges": var_edges, "var_mask": var_edges[..., 0] >= 0,
+        "rev": rev, "A": A,
+        "n_tab": n_tab, "k_tab": k_tab, "m_tab": m_tab,
+        "codes": codes,
+    }
+
+
+def encode_bank(msg_bits: jax.Array, code_idx: jax.Array, bank) -> jax.Array:
+    """[B, Kmax] bits + [B] 1-based code ids -> [B, Nmax] padded
+    codewords ``[parity: Mmax | systematic: Kmax]`` (bits beyond each
+    code's K must be zero)."""
+    A = jnp.asarray(bank["A"])[code_idx]  # [B, Mmax, Kmax]
+    parity = (jnp.einsum("bk,bmk->bm", msg_bits.astype(jnp.float32), A)
+              .astype(jnp.int32) % 2)
+    return jnp.concatenate([parity, msg_bits.astype(jnp.int32)], axis=-1)
+
+
+def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,
+                max_iters: int = 15):
+    """Batched sum-product BP with per-codeword code selection.
+
+    Args:
+      llr: [B, Nmax] float32 in the padded layout (pin unused slots to
+           +SHORTENED_LLR); LLR > 0 <=> bit 0.
+      code_idx: [B] int32 1-based ids into the bank.
+    Returns (hard_bits [B, Nmax], iters_used [B], ok [B]) like
+    :func:`decode`.
+    """
+    B = llr.shape[0]
+    chk_adj = jnp.asarray(bank["chk_adj"])[code_idx]  # [B, M, R]
+    chk_mask = jnp.asarray(bank["chk_mask"])[code_idx]
+    ve = jnp.asarray(bank["var_edges"])[code_idx]  # [B, N, D, 2]
+    var_mask = jnp.asarray(bank["var_mask"])[code_idx]
+    rev = jnp.asarray(bank["rev"])[code_idx]  # [B, M, R, 2]
+    M, R = chk_adj.shape[1:]
+
+    safe_adj = jnp.maximum(chk_adj, 0)
+    ve_chk = jnp.maximum(ve[..., 0], 0)  # [B, N, D]
+    ve_slot = jnp.maximum(ve[..., 1], 0)
+    rev_var, rev_slot = rev[..., 0], rev[..., 1]
+    b_ix = jnp.arange(B)[:, None, None]
+
+    def check_update(v2c):
+        t = jnp.tanh(jnp.clip(v2c, -20.0, 20.0) / 2.0)
+        t = jnp.where(chk_mask, t, 1.0)
+        prod = jnp.prod(t, axis=-1, keepdims=True)
+        t_safe = jnp.where(jnp.abs(t) < 1e-12, jnp.sign(t) * 1e-12 + 1e-30, t)
+        loo = jnp.clip(prod / t_safe, -0.999999, 0.999999)
+        return 2.0 * jnp.arctanh(loo)
+
+    def syndrome_ok_of(total):
+        hard = (total < 0).astype(jnp.int32)
+        bits_at_checks = jnp.where(chk_mask, hard[b_ix, safe_adj], 0)
+        return jnp.all(jnp.sum(bits_at_checks, axis=-1) % 2 == 0, axis=-1)
+
+    def body(carry, _):
+        c2v, iters_used, done = carry
+        inc = c2v[b_ix, ve_chk, ve_slot]  # [B, N, D]
+        inc = jnp.where(var_mask, inc, 0.0)
+        total = llr + jnp.sum(inc, axis=-1)
+        done = done | syndrome_ok_of(total)
+        v2c_var = total[:, :, None] - inc  # [B, N, D]
+        v2c = v2c_var[b_ix, rev_var, rev_slot]  # [B, M, R]
+        new_c2v = check_update(v2c)
+        c2v = jnp.where(done[:, None, None], c2v, new_c2v)
+        iters_used = iters_used + (~done).astype(jnp.int32)
+        return (c2v, iters_used, done), None
+
+    c2v0 = jnp.zeros((B, M, R), jnp.float32)
+    (c2v, iters_used, done), _ = jax.lax.scan(
+        body, (c2v0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
+        None, length=max_iters)
+    inc = c2v[b_ix, ve_chk, ve_slot]
+    inc = jnp.where(var_mask, inc, 0.0)
     total = llr + jnp.sum(inc, axis=-1)
     hard = (total < 0).astype(jnp.int32)
     ok = done | syndrome_ok_of(total)
