@@ -33,6 +33,7 @@ __all__ = ["DuplexState", "build_full_duplex", "initial_duplex_state"]
 class NodeState(NamedTuple):
     fb: adaptive.FeedbackState  # decision state for the inbound link
     tx_cnst: jax.Array  # current TX constellation (peer-controlled)
+    tx_fec: jax.Array  # current TX FEC code id (peer-controlled; 0 = none)
     frame_no: jax.Array
 
 
@@ -43,11 +44,13 @@ class DuplexState(NamedTuple):
 
 def initial_duplex_state(cfg, tables) -> DuplexState:
     init_cnst = jnp.asarray(tables["cnst"])[cfg.initial_mcs_id]
+    init_fec = jnp.asarray(tables["fec"])[cfg.initial_mcs_id]
 
     def node():
         return NodeState(
             fb=adaptive.initial_state(cfg.initial_mcs_id),
             tx_cnst=jnp.asarray(init_cnst, jnp.int32),
+            tx_fec=jnp.asarray(init_fec, jnp.int32),
             frame_no=jnp.asarray(0, jnp.int32),
         )
 
@@ -73,9 +76,11 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
     bps_table = jnp.asarray(cn.BITS_PER_SYMBOL)
     cnst_of_mcs = jnp.asarray(tables["cnst"])
     fec_of_mcs = jnp.asarray(tables["fec"])
+    n_codes = fec["n_codes"] if fec is not None else 0
     if fec is not None:
         maxb = fec["max_payload_bytes"]
-        cap_per_bps = jnp.asarray(fec["user_bytes_tab"], jnp.int32)
+        # capacity depends on BOTH the code and the constellation
+        cap_tab2 = jnp.asarray(fec["user_bytes_tab2"], jnp.int32)
     else:
         maxb = cfg.max_frame_bytes()
         cap_per_bps = jnp.asarray(
@@ -85,7 +90,10 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
     def send_one(node: NodeState, noise_v, key):
         """TX one frame from `node` with its current state."""
         kp, kpad, kn = jax.random.split(key, 3)
-        plen = cap_per_bps[bps_table[node.tx_cnst]]
+        if fec is not None:
+            plen = cap_tab2[node.tx_fec, bps_table[node.tx_cnst]]
+        else:
+            plen = cap_per_bps[bps_table[node.tx_cnst]]
         payload = jax.random.randint(kp, (1, maxb), 0, 256, dtype=jnp.int32).astype(
             jnp.uint8
         )
@@ -102,6 +110,7 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
             node.frame_no[None],
             kpad,
             fec_feedback=fec_of_mcs[node.fb.last][None],
+            fec_id=node.tx_fec[None] if fec is not None else None,
         )
         rxsamp = chan.awgn(kn, out.samples, noise_v)
         return rxsamp
@@ -113,6 +122,11 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
         echo = rx.feedback_cnst[0]
         echo_valid = ok & (echo >= 1) & (echo <= 4)
         new_tx_cnst = jnp.where(echo_valid, echo, node.tx_cnst)
+        # the FEC echo switches the TX code too (ref
+        # fec_frame_bvb_impl.cc:178-201)
+        fec_echo = rx.fec_echo[0]
+        fec_valid = ok & (fec_echo >= 1) & (fec_echo <= n_codes)
+        new_tx_fec = jnp.where(fec_valid, fec_echo, node.tx_fec)
         fb, _ = adaptive.feedback_step(node.fb, rx.snr_db[0], tables)
         # only adapt on frames we actually decoded (ref: feedback comes
         # from the equalizer only when a frame was received)
@@ -120,6 +134,7 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
         new_node = NodeState(
             fb=fb,
             tx_cnst=new_tx_cnst,
+            tx_fec=new_tx_fec,
             frame_no=(node.frame_no + 1) & 0xFFF,
         )
         telem = {
@@ -142,6 +157,8 @@ def build_full_duplex(cfg, *, noise_ab: float, noise_ba: float, fec=None):
         telem = {
             "a_tx_cnst": state.a.tx_cnst,
             "b_tx_cnst": state.b.tx_cnst,
+            "a_tx_fec": state.a.tx_fec,
+            "b_tx_fec": state.b.tx_fec,
             "snr_at_b": telem_b["snr_db"],
             "snr_at_a": telem_a["snr_db"],
             "b_crc_ok": telem_b["crc_ok"],

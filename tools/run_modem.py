@@ -54,8 +54,8 @@ def run_loopback(args):
     rxcfg = cfgmod.make_rx_config(args.config, frame_length=args.frame_length)
     fec = None
     if cfg.fec:
-        name, path = cfg.fec_codes[0]
-        fec = fec_chain.build_fec(cfg, alist_mod.load_alist(path))
+        fec = fec_chain.build_fec(
+            cfg, [alist_mod.load_alist(path) for _, path in cfg.fec_codes])
     txp = transmitter.build_tx(cfg, fec)
     rxp = receiver.build_rx(rxcfg, fec)
 
@@ -115,8 +115,8 @@ def run_full_duplex(args):
         from gr_dtl_tpu.utils import alist as alist_mod
         from gr_dtl_tpu.models import fec_chain
 
-        name, path = cfg.fec_codes[0]
-        fec = fec_chain.build_fec(cfg, alist_mod.load_alist(path))
+        fec = fec_chain.build_fec(
+            cfg, [alist_mod.load_alist(path) for _, path in cfg.fec_codes])
     # convert SNRs to noise voltages against unit-ish signal power (~0.81)
     nv = lambda snr: float(np.sqrt(0.81 / 10 ** (snr / 10)))
     run, tables = full_duplex.build_full_duplex(
