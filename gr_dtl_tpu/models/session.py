@@ -111,17 +111,19 @@ class StreamRx:
             lock_state = lock_state._replace(
                 expected=lock_state.expected - F * P
             )
-            # lost-frame accounting across blocks (12-bit gaps)
+            # lost-frame accounting across blocks: gaps between RECEIVED
+            # frame numbers only (ref frame_equalizer_vcvc_impl.cc:124-137);
+            # undecoded slots (noise, idle air) never advance the
+            # expectation, so a quiet stretch doesn't wrap the 12-bit
+            # counter into thousands of phantom losses
             ok = out.header_ok & valid
 
             def acct(exp, x):
                 no, okf = x
                 first = exp < 0
                 gap = jnp.where(first, 0, (no - exp) % 4096)
-                lost = jnp.where(okf, gap, jnp.where(first, 0, 1))
-                new_exp = jnp.where(
-                    okf, (no + 1) % 4096,
-                    jnp.where(first, exp, (exp + 1) % 4096))
+                lost = jnp.where(okf, gap, 0)
+                new_exp = jnp.where(okf, (no + 1) % 4096, exp)
                 return new_exp, lost
 
             expected_no, losts = jax.lax.scan(
@@ -172,6 +174,7 @@ class StreamTx:
                  pace: bool = False, seed: int = 0):
         self.cfg = cfg
         self.F = frames_per_block
+        self.fec = fec
         self.txp = transmitter.build_tx(cfg, fec)
         self.block_samples = self.F * cfg.frame_samples
         self.pace = pace
@@ -183,7 +186,8 @@ class StreamTx:
         self._empty_run = 0  # consecutive all-empty blocks emitted
         self._key = jax.random.PRNGKey(seed)
         self._deadline = None  # pacing clock
-        self._maxb = cfg.max_frame_bytes()
+        self._maxb = (fec["max_payload_bytes"] if fec is not None
+                      else cfg.max_frame_bytes())
         self._step = jax.jit(functools.partial(transmitter.tx_frames, self.txp))
 
     # -- control plane (reference message-port handlers) ---------------
@@ -209,6 +213,9 @@ class StreamTx:
     # -- data plane -----------------------------------------------------
     def _capacity(self) -> int:
         bps = int(cn.BITS_PER_SYMBOL[self._cnst])
+        if self.fec is not None:
+            # FEC transport block: code-1 user bytes for this bps
+            return int(self.fec["user_bytes_tab"][bps])
         return self.cfg.frame_bytes(bps) - 4  # minus CRC32
 
     def next_block(self):
@@ -223,39 +230,8 @@ class StreamTx:
         """
         cap = self._capacity()
         F = self.F
-        # incremental pack_pdus with a hard F-frame budget: whole PDUs
-        # per frame, jumbo PDUs split, leftovers stay queued
-        frames: list[bytes] = []
-        cur = bytearray()
-        if self._jumbo_rest:
-            rest = self._jumbo_rest
-            self._jumbo_rest = b""
-            while rest and len(frames) < F:
-                frames.append(rest[:cap])
-                rest = rest[cap:]
-            self._jumbo_rest = rest
-        while self._queue and len(frames) < F:
-            pdu = self._queue[0]
-            if len(pdu) > cap:
-                # jumbo: own frames, split; the tail chunk also gets its
-                # own frame (pack_pdus semantics, ref d_current_pdu_remain)
-                if cur:
-                    frames.append(bytes(cur))
-                    cur = bytearray()
-                    continue
-                self._queue.pop(0)
-                while pdu and len(frames) < F:
-                    frames.append(pdu[:cap])
-                    pdu = pdu[cap:]
-                self._jumbo_rest = pdu
-                continue
-            if len(cur) + len(pdu) > cap:
-                frames.append(bytes(cur))
-                cur = bytearray()
-                continue
-            cur += self._queue.pop(0)
-        if cur and len(frames) < F:
-            frames.append(bytes(cur))
+        frames, self._jumbo_rest = streaming.pack_pdus_budget(
+            self._queue, self._jumbo_rest, cap, F)
         plen = np.array([len(f) for f in frames], np.int32)
         payload = np.zeros((len(frames), cap), np.uint8)
         for i, f in enumerate(frames):
@@ -325,27 +301,34 @@ class StreamDuplex:
         self.rx_b = StreamRx(cfg_rx_b, frames_per_block)
         self.chan_ab = channel_ab
         self.chan_ba = channel_ba
-        self.tables = adaptive.build_mcs_tables(cfg_rx_a)
+        # per-node tables: each node decides with ITS OWN ladder (the
+        # configs may be asymmetric)
+        self.tables_a = adaptive.build_mcs_tables(cfg_rx_a)
+        self.tables_b = adaptive.build_mcs_tables(cfg_rx_b)
         self._fb_a = adaptive.initial_state(cfg_rx_a.initial_mcs_id)
         self._fb_b = adaptive.initial_state(cfg_rx_b.initial_mcs_id)
-        tables = self.tables
 
-        @jax.jit
-        def fb_scan_masked(state, snrs, mask):
-            # fixed-length masked scan: invalid frames don't update the
-            # decision state (avoids per-block retraces)
-            def step(s, x):
-                snr, m = x
-                ns, mcs = adaptive.feedback_step(s, snr, tables)
-                ns = jax.tree.map(lambda a, b: jnp.where(m, a, b), ns, s)
-                return ns, jnp.where(m, mcs, s.last)
+        def make_fb_scan(tables):
+            @jax.jit
+            def fb_scan_masked(state, snrs, mask):
+                # fixed-length masked scan: invalid frames don't update
+                # the decision state (avoids per-block retraces)
+                def step(s, x):
+                    snr, m = x
+                    ns, mcs = adaptive.feedback_step(s, snr, tables)
+                    ns = jax.tree.map(lambda a, b: jnp.where(m, a, b), ns, s)
+                    return ns, jnp.where(m, mcs, s.last)
 
-            return jax.lax.scan(step, state, (snrs, mask))
+                return jax.lax.scan(step, state, (snrs, mask))
 
-        self._fb_scan = fb_scan_masked
-        self._cnst_of_mcs = np.asarray(self.tables["cnst"])
+            return fb_scan_masked
 
-    def _half(self, tx: StreamTx, chan, rx: StreamRx, fb_state):
+        self._fb_scan_a = make_fb_scan(self.tables_a)
+        self._fb_scan_b = make_fb_scan(self.tables_b)
+        self._cnst_of_mcs_a = np.asarray(self.tables_a["cnst"])
+        self._cnst_of_mcs_b = np.asarray(self.tables_b["cnst"])
+
+    def _half(self, tx: StreamTx, chan, rx: StreamRx, fb_state, fb_scan):
         blk = tx.next_block()
         if blk is None:
             return None, fb_state, None
@@ -356,8 +339,7 @@ class StreamDuplex:
         # comes from the equalizer only when a frame was received)
         echo_mcs = None
         if ok.any():
-            fb_state, mcs_seq = self._fb_scan(
-                fb_state, out.snr_db, jnp.asarray(ok))
+            fb_state, mcs_seq = fb_scan(fb_state, out.snr_db, jnp.asarray(ok))
             echo_mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
         # last valid decoded echo steers this node's peer
         echoes = np.asarray(out.feedback_cnst)[ok]
@@ -369,19 +351,19 @@ class StreamDuplex:
         """One block each way; returns per-direction RxOut + telemetry
         (None once both TX queues and empty budgets are exhausted)."""
         out_b, self._fb_b, ctl_b = self._half(
-            self.tx_a, self.chan_ab, self.rx_b, self._fb_b)
+            self.tx_a, self.chan_ab, self.rx_b, self._fb_b, self._fb_scan_b)
         out_a, self._fb_a, ctl_a = self._half(
-            self.tx_b, self.chan_ba, self.rx_a, self._fb_a)
+            self.tx_b, self.chan_ba, self.rx_a, self._fb_a, self._fb_scan_a)
         if out_a is None and out_b is None:
             return None
         # B's decision about the A->B link is echoed in B's headers and,
         # decoded at A, switches A's TX constellation (and vice versa).
         if ctl_b and ctl_b["echo_mcs"] is not None:
             self.tx_b.set_feedback_echo(
-                int(self._cnst_of_mcs[ctl_b["echo_mcs"]]))
+                int(self._cnst_of_mcs_b[ctl_b["echo_mcs"]]))
         if ctl_a and ctl_a["echo_mcs"] is not None:
             self.tx_a.set_feedback_echo(
-                int(self._cnst_of_mcs[ctl_a["echo_mcs"]]))
+                int(self._cnst_of_mcs_a[ctl_a["echo_mcs"]]))
         if ctl_a and ctl_a["peer_req"]:
             self.tx_a.set_feedback(ctl_a["peer_req"])
         if ctl_b and ctl_b["peer_req"]:

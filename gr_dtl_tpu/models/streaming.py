@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pack_pdus", "TriggerLockState", "trigger_lock_scan",
-           "LOCK_AFTER", "UNLOCK_AFTER"]
+__all__ = ["pack_pdus", "pack_pdus_budget", "TriggerLockState",
+           "trigger_lock_scan", "LOCK_AFTER", "UNLOCK_AFTER"]
 
 LOCK_AFTER = 3  # consecutive synced triggers to lock (ref :21)
 UNLOCK_AFTER = 5  # consecutive missing triggers to unlock (ref :22)
@@ -84,6 +84,55 @@ def pack_pdus(pdus: list[bytes], frame_capacity: int, max_frames: int | None = N
         payload[i, : len(f)] = np.frombuffer(bytes(f), np.uint8)
         plen[i] = len(f)
     return payload, plen, bounds
+
+
+def pack_pdus_budget(queue: list[bytes], jumbo_rest: bytes, cap: int,
+                     max_frames: int) -> tuple[list[bytes], bytes]:
+    """Incremental :func:`pack_pdus` with a hard frame budget.
+
+    Same whole-PDU/jumbo-split semantics, but consumes at most
+    ``max_frames`` frames' worth of input: ``queue`` is popped in place
+    (leftover PDUs stay queued), and an unfinished jumbo split is
+    returned as the new ``jumbo_rest`` carry.  Used by the continuous
+    :class:`gr_dtl_tpu.models.session.StreamTx`.
+
+    Returns (frames: list of per-frame payload bytes, jumbo_rest).
+    """
+    frames: list[bytes] = []
+    cur = bytearray()
+    if jumbo_rest:
+        rest = jumbo_rest
+        while rest and len(frames) < max_frames:
+            frames.append(rest[:cap])
+            rest = rest[cap:]
+        jumbo_rest = rest
+        if jumbo_rest:
+            return frames, jumbo_rest
+    else:
+        jumbo_rest = b""
+    while queue and len(frames) < max_frames:
+        pdu = queue[0]
+        if len(pdu) > cap:
+            # jumbo: own frames, split; the tail chunk also gets its own
+            # frame (pack_pdus semantics, ref d_current_pdu_remain)
+            if cur:
+                frames.append(bytes(cur))
+                cur = bytearray()
+                continue
+            queue.pop(0)
+            while pdu and len(frames) < max_frames:
+                frames.append(pdu[:cap])
+                pdu = pdu[cap:]
+            jumbo_rest = pdu
+            continue
+        if len(cur) + len(pdu) > cap:
+            frames.append(bytes(cur))
+            cur = bytearray()
+            continue
+        cur += queue.pop(0)
+    if cur and len(frames) < max_frames:
+        frames.append(bytes(cur))
+    return frames, jumbo_rest
 
 
 class TriggerLockState(NamedTuple):

@@ -166,8 +166,8 @@ def timing_metric_pallas(r: jax.Array, fft_len: int = 64,
 
 
 def timing_metric(r: jax.Array, fft_len: int = 64):
-    """Dispatch: Pallas kernel on TPU (opt-in via GR_DTL_TPU_PALLAS=1),
-    jnp elsewhere.
+    """Deprecated alias: the Pallas-vs-jnp dispatch gate lives in
+    ops/sync.timing_metric (opt-in via ``GR_DTL_TPU_PALLAS=1``).
 
     Measured on one v5e chip (2026-08-18): standalone on a 2M-sample
     stream the kernel edges out the XLA path (301 vs 292 Gsamples/s,
@@ -177,13 +177,4 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     default and the kernel is the right choice only for long-stream
     detection-only workloads.
     """
-    import os
-
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if (on_tpu and fft_len == 64 and r.ndim == 1
-            and os.environ.get("GR_DTL_TPU_PALLAS") == "1"):
-        return timing_metric_pallas(r, fft_len)
     return sync_jnp.timing_metric(r, fft_len)

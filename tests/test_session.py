@@ -147,6 +147,56 @@ def test_stream_tx_to_stream_rx_roundtrip():
     assert b"".join(got) == b"".join(sent) == b"".join(pdus)
 
 
+def test_stream_tx_fec_roundtrip():
+    """FEC-mode StreamTx: capacities come from the code tables; coded
+    stream decodes exactly through a FEC StreamRx."""
+    import os
+
+    from gr_dtl_tpu.utils import alist as alist_mod
+    from gr_dtl_tpu.models import fec_chain
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0100_k_0027.alist"))
+    txcfg = cfgmod.make_tx_config(None, frame_length=10, fec=True,
+                                  max_empty_frames=0)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10, fec=True)
+    fec = fec_chain.build_fec(txcfg, H)
+    F = 4
+    tx = session.StreamTx(txcfg, frames_per_block=F, fec=fec, seed=9)
+    cap = tx._capacity()
+    assert cap == int(fec["user_bytes_tab"][1])  # BPSK default
+    rng = np.random.RandomState(8)
+    pdus = [rng.randint(0, 256, rng.randint(4, cap + 1)).astype(np.uint8).tobytes()
+            for _ in range(5)]
+    for p in pdus:
+        tx.send(p)
+    rx = session.StreamRx(rxcfg, frames_per_block=F, fec=fec)
+    blocks, sent = [], []
+    while True:
+        blk = tx.next_block()
+        if blk is None:
+            break
+        samples, info = blk
+        blocks.append(samples)
+        for f in range(F):
+            if info["payload_len"][f]:
+                sent.append(info["payload_len"][f])
+    blocks.append(np.zeros(rx.block_samples, np.complex64))
+    stream = np.concatenate(blocks)
+    sig = float(np.mean(np.abs(blocks[0]) ** 2))
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(4), jnp.asarray(stream), float(np.sqrt(sig / 1e3))))
+    got = []
+    for b in range(len(blocks)):
+        outb, valid = rx.process(stream[b * rx.block_samples:(b + 1) * rx.block_samples])
+        ok = np.asarray(outb.crc_ok) & valid
+        for i in range(F):
+            if ok[i] and np.asarray(outb.payload_len)[i]:
+                got.append(bytes(np.asarray(outb.payload)[i][: np.asarray(outb.payload_len)[i]]))
+    assert b"".join(got) == b"".join(pdus)
+
+
 def test_stream_rx_sample_slip_resync():
     """A mid-stream sample slip (dropped samples, e.g. an overrun) must
     not kill the session: the per-block phase vote re-locks and frames

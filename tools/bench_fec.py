@@ -100,9 +100,6 @@ def main():
         (1.0 - 2.0 * cws.astype(jnp.float32)) * 4.0
         + jax.random.normal(jax.random.PRNGKey(2), cws.shape) * 0.5)
 
-    dec = jax.jit(lambda l: ldpc.decode(l, code, max_iters=15))
-    jax.block_until_ready(dec(llr))
-
     @jax.jit
     def dec_chained(llr):
         def body(i, acc):

@@ -65,10 +65,18 @@ def run_loopback(args):
         sys.exit(f"error: --mcs-id must be 0..{len(cfg.mcs) - 1} for this config")
     cnst_id = int(cfg.mcs[args.mcs_id][1][0]) if args.mcs_id is not None else 2
     cnst = np.full(B, cnst_id, np.int32)
+    fec_ids = None
     if fec is not None:
+        # the MCS entry names its code too — transmit with THAT code
+        code_ids = {name: i + 1 for i, (name, _) in enumerate(cfg.fec_codes)}
+        fec_name = (cfg.mcs[args.mcs_id][1][1] if args.mcs_id is not None
+                    else cfg.fec_codes[0][0])
+        fid = code_ids.get(fec_name, 1)
+        fec_ids = np.full(B, fid, np.int32)
         maxb = fec["max_payload_bytes"]
-        plen = np.full(B, int(fec["user_bytes_tab"][int(cn.BITS_PER_SYMBOL[cnst_id])]),
-                       np.int32)
+        plen = np.full(
+            B, int(fec["user_bytes_tab2"][fid, int(cn.BITS_PER_SYMBOL[cnst_id])]),
+            np.int32)
     else:
         maxb = cfg.max_frame_bytes()
         plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4,
@@ -81,6 +89,7 @@ def run_loopback(args):
         txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
         jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
         jax.random.PRNGKey(args.seed),
+        fec_id=None if fec_ids is None else jnp.asarray(fec_ids),
     )
     tx_view = (payload, plen)  # user payload for the offline BER store
     sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
