@@ -1,0 +1,48 @@
+"""Multi-host layout helpers: host-aware (stream, time) mesh keeps halo
+rings on ICI; init() is a single-process no-op."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr_dtl_tpu.parallel import dist, stream as pstream
+from gr_dtl_tpu.utils import config as cfgmod
+
+
+def test_init_noop_single_process(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR", raising=False)
+    assert dist.init() is False
+
+
+def test_host_mesh_layout_and_step():
+    assert jax.device_count() >= 8
+    m = dist.make_host_mesh(n_time=2)
+    assert m.shape == {"stream": jax.device_count() // 2, "time": 2}
+    # every time ring must stay within one process's devices
+    dev = np.array(m.devices)
+    for row in dev:
+        assert len({d.process_index for d in row}) == 1
+
+    txcfg = cfgmod.make_tx_config(None, frame_length=4)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=4)
+    rng = np.random.RandomState(0)
+    S, Fs = dev.shape[0], 2
+    maxb = txcfg.max_frame_bytes()
+    plen = np.full((S, Fs), txcfg.frame_bytes(2) - 4, np.int32)
+    payload = np.zeros((S, Fs, maxb), np.uint8)
+    for s in range(S):
+        for f in range(Fs):
+            payload[s, f, : plen[s, f]] = rng.randint(0, 256, plen[s, f])
+    step, _ = pstream.build_sharded_loopback(
+        txcfg, rxcfg, m, frames_per_block=1, noise_v=0.01)
+    out = step(jnp.asarray(payload), jnp.asarray(plen),
+               jnp.full((S, Fs), 2, jnp.int32),
+               jnp.tile(np.arange(Fs, dtype=np.int32), (S, 1)),
+               jax.random.PRNGKey(0))
+    assert np.asarray(out.crc_ok).all()
+
+
+def test_host_mesh_rejects_ring_across_hosts():
+    with pytest.raises(ValueError):
+        dist.make_host_mesh(n_time=3)  # does not divide 8
