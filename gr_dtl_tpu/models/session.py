@@ -225,8 +225,9 @@ class StreamTx:
         Frames hold whole queued PDUs (jumbo PDUs split); slots with no
         data become empty frames (payload_len 0) so the stream — and the
         in-band adaptation loop — stays alive, up to
-        ``cfg.max_empty_frames`` consecutive all-empty *blocks*
-        (-1 = forever, matching the reference default).
+        ``cfg.max_empty_frames`` consecutive empty frames (-1 = forever,
+        matching the reference default; rounded up to whole blocks since
+        blocks are the emission unit).
         """
         cap = self._capacity()
         F = self.F
@@ -238,10 +239,10 @@ class StreamTx:
             payload[i, : len(f)] = np.frombuffer(f, np.uint8)
         n_data = payload.shape[0]
         if n_data == 0:
-            self._empty_run += 1
             maxe = getattr(self.cfg, "max_empty_frames", -1)
-            if maxe >= 0 and self._empty_run > maxe:
+            if maxe >= 0 and self._empty_run >= maxe:
                 return None  # reference framer's WORK_DONE
+            self._empty_run += F
         else:
             self._empty_run = 0
         full_payload = np.zeros((F, self._maxb), np.uint8)

@@ -244,7 +244,27 @@ def main():
     p.add_argument("--store-rx", default=None)
     p.add_argument("--zmq", default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=JSON",
+                   help="config override, e.g. --set cp_len=32 "
+                        "--set 'mcs=[[0,[\"bpsk\",\"no_fec\"]]]' "
+                        "(the grc_run jq-override analogue)")
     args = p.parse_args()
+    if args.set:
+        overrides = {}
+        for kv in args.set:
+            key, _, val = kv.partition("=")
+            if not _:
+                sys.exit(f"error: --set needs KEY=JSON, got {kv!r}")
+            try:
+                overrides[key] = json.loads(val)
+            except json.JSONDecodeError:
+                overrides[key] = val  # bare string value
+        base = {}
+        if args.config:
+            with open(args.config) as f:
+                base = json.load(f)
+        base.update(overrides)
+        args.config = base  # make_*_config accepts a dict
     {"loopback": run_loopback, "full-duplex": run_full_duplex,
      "simplex": run_simplex}[args.mode](args)
 
