@@ -32,6 +32,42 @@ def test_json_override():
     assert c2.frame_length == 5
 
 
+def test_malformed_mcs_entries():
+    import pytest
+
+    # unknown constellation name in a JSON mcs table must raise cleanly
+    with pytest.raises(KeyError):
+        cfg.make_tx_config({"mcs": [[0, ["qam1024", "no_fec"]]]})
+    # wrong nesting shape must raise, not silently mis-parse
+    with pytest.raises((ValueError, TypeError)):
+        cfg.make_tx_config({"mcs": [[0, "bpsk"]]})
+    # unknown keys are ignored (key-matched setattr, ref :68-89)
+    c = cfg.make_tx_config({"no_such_key": 1, "cp_len": 8})
+    assert c.cp_len == 8 and not hasattr(c, "no_such_key")
+
+
+def test_empty_payload_crc_frame():
+    """Zero-length payload frames are legal (empty keepalive frames):
+    CRC32 over zero bytes round-trips."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gr_dtl_tpu.models import framing
+    from gr_dtl_tpu.ops import gf2
+
+    c = cfg.make_tx_config(None, frame_length=10)
+    tables = gf2.make_crc_tables(gf2.CRC32_FRAME, c.max_frame_bytes())
+    payload = jnp.zeros((2, c.max_frame_bytes()), jnp.uint8)
+    plen = jnp.zeros(2, jnp.int32)
+    frame, l_total = framing.build_frame_bytes(
+        payload, plen, jax.random.PRNGKey(0), c.max_frame_bytes(), tables)
+    out_payload, out_len, ok = framing.verify_frame_bytes(
+        frame, l_total, tables)
+    assert np.asarray(ok).all()
+    assert (np.asarray(out_len) == 0).all()
+
+
 def test_sync_words():
     c = cfg.OFDMConfig()
     w1 = c.sync_word1()
