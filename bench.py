@@ -14,10 +14,14 @@ Baseline = the project north star of 100 Msamples/s/chip (BASELINE.md;
 the reference publishes no speed numbers — its examples run at
 0.2-0.9 MS/s CPU/SDR rates).
 
-Axon-tunnel notes: device->host transfers are slow on first use and
-occasionally UNIMPLEMENTED, so results are fetched best-effort after
-timing; compile time dominates wall time, so the batch is kept at 256
-frames (measured throughput is batch-insensitive above ~128).
+Measurement integrity (learned the hard way): on the axon tunnel
+``jax.block_until_ready`` does NOT actually wait, so any timing loop
+that "blocks" measures dispatch only and reports fantasy numbers
+(x1000 too high).  This bench chains each step's output into the next
+step's input (a value dependency XLA cannot elide) and ends by fetching
+the accumulated scalar with ``float(...)`` — the wall time provably
+includes every step's device execution.  The fetched scalar doubles as
+the CRC-pass count, so correctness is asserted by the same readback.
 """
 
 import json
@@ -27,7 +31,22 @@ import time
 import numpy as np
 
 
+def _fetch(x, tries: int = 12) -> float:
+    """float(x) with retries: device->host reads over the axon tunnel
+    intermittently raise UNIMPLEMENTED; the value is fine on retry."""
+    for i in range(tries):
+        try:
+            return float(x)
+        except Exception:
+            if i == tries - 1:
+                raise
+            time.sleep(0.5)
+
+
 def main():
+    # GR_DTL_TPU_PALLAS=1 swaps in the fused Schmidl-Cox Pallas kernel
+    # (measured +3-5% end to end; opt-in because running any Mosaic
+    # kernel makes this tunnel's device->host reads flaky)
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +59,7 @@ def main():
     txp = transmitter.build_tx(txcfg)
     rxp = receiver.build_rx(cfg)
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256  # frames per step
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024  # frames per step
     n_samples = B * cfg.frame_samples
 
     rng = np.random.RandomState(0)
@@ -51,63 +70,55 @@ def main():
     for i in range(B):
         plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
         payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+
     # keep every stage jitted: on the axon tunnel each *eager* op is a
-    # host round trip, which turns the eager TX into minutes of dispatch
+    # host round trip
     @jax.jit
     def make_stream(payload, plen, cnst, frame_no, key):
         out = transmitter.tx_frames(
             txp, payload, plen, cnst,
             jnp.zeros(B, jnp.int32), frame_no, key,
         )
-        return channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1), 0.02)
+        s = out.samples.reshape(-1)
+        # pad so the last frame's window never clips
+        s = jnp.concatenate([s, jnp.zeros(2048, jnp.complex64)])
+        return channel.awgn(jax.random.PRNGKey(1), s, 0.02)
 
     stream = make_stream(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
         jnp.arange(B, dtype=jnp.int32) % 4096, jax.random.PRNGKey(0),
     )
 
-    detect = jax.jit(lambda s: receiver.detect_and_extract(s, cfg, B))
-    demod = jax.jit(lambda f: receiver.rx_frames(rxp, f))
-
-    # warmup / compile
-    frames, _ = jax.block_until_ready(detect(stream))
-    res = jax.block_until_ready(demod(frames))
-
-    # per-dispatch latency over the remote tunnel dwarfs the ~0.1 ms
-    # step, so chain INNER iterations inside one jitted graph (the roll
-    # makes each inner pass data-dependent so XLA can't CSE them away)
-    INNER = 8
-
     @jax.jit
-    def rx_chained(stream):
-        def body(i, acc):
-            s = jnp.roll(stream, i)
-            frames, _ = receiver.detect_and_extract(s, cfg, B)
-            r = receiver.rx_frames(rxp, frames)
-            return acc + jnp.sum(r.crc_ok)
-        return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
+    def step(s, acc):
+        # value dependency: a ~identity rotation derived from the carry
+        # serializes the steps and defeats CSE/constant folding
+        s = s * jnp.exp(1j * acc * 1e-12)
+        frames, _ = receiver.detect_and_extract(s, cfg, B)
+        r = receiver.rx_frames(rxp, frames)
+        return acc + jnp.sum(r.crc_ok).astype(jnp.float32)
 
-    jax.block_until_ready(rx_chained(stream))
-    iters = 6
+    # warmup/compile (fetch forces completion)
+    _fetch(step(stream, jnp.float32(0)))
+
+    iters = 12
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = rx_chained(stream)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / (iters * INNER)
+        acc = step(stream, acc)
+    total_ok = _fetch(acc)  # waits for ALL chained steps
+    dt = (time.perf_counter() - t0) / iters
 
     msps = n_samples / dt / 1e6
-    # best-effort correctness telemetry (transfers can be flaky)
-    try:
-        ok = float(jax.jit(lambda r: r.crc_ok.astype(jnp.float32).mean())(res))
-    except Exception:
-        ok = None
+    ok_rate = total_ok / (iters * B)
     print(json.dumps({
         "metric": "ofdm_demod_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / 100.0, 3),
-        "extra": {"frames_per_step": B, "crc_ok_rate": ok,
-                  "step_ms": round(dt * 1e3, 3)},
+        "extra": {"frames_per_step": B, "crc_ok_rate": round(ok_rate, 4),
+                  "step_ms": round(dt * 1e3, 3),
+                  "timing": "value-chained, scalar-fetch verified"},
     }))
 
 

@@ -352,16 +352,25 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     Cmax = fec["max_ncws"]
 
     G = llrs.shape[0]  # groups (== B when W == 1)
+
+    def cw_slices(llrs_row, starts, length):
+        """Per-codeword contiguous windows: vmap(dynamic_slice) lowers
+        to a slice gather (one contiguous read per cw) instead of an
+        elementwise index gather over G*Cmax*n positions.  The row is
+        right-padded by `length` so the shortened last codeword's window
+        never shifts (padding reads are masked by `sent`)."""
+        row = jnp.pad(llrs_row, (0, length))
+        s = jnp.clip(starts, 0, row.shape[-1] - length)
+        return jax.vmap(
+            lambda st: jax.lax.dynamic_slice(row, (st,), (length,))
+        )(s)
+
     if fec_id is None:
         # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
         j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
         sent = j < m + sched["k_prime"][:, :, None]
-        pos = jnp.clip(sched["cw_start"][:, :, None] + j, 0, llrs.shape[1] - 1)
-        cw_llrs = jnp.take_along_axis(
-            llrs[:, None, :].repeat(Cmax, axis=1).reshape(G * Cmax, -1),
-            pos.reshape(G * Cmax, n),
-            axis=1,
-        ).reshape(G, Cmax, n)
+        cw_llrs = jax.vmap(cw_slices, in_axes=(0, 0, None))(
+            llrs, sched["cw_start"], n)
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
         bits, iters, ok = ldpc.decode(

@@ -78,9 +78,7 @@ def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
     # FFT windows start mid-CP: trigger sits on the metric plateau
     # [frame_start, frame_start+cp]; using it directly keeps every
     # 64-sample window inside its own symbol (see ops/sync.py docstring).
-    offs = jnp.arange(cfg.frame_samples, dtype=jnp.int32)
-    idx = jnp.clip(trig[:, None] + offs[None, :], 0, stream.shape[-1] - 1)
-    frames = stream[idx]
+    frames = sync.extract_windows(stream, trig, cfg.frame_samples)
     return sync.cfo_correct(frames, eps, cfg.fft_len), eps
 
 
@@ -145,14 +143,15 @@ def rx_frames(rxp, frames: jax.Array,
         llr_bits = cn.soft_llrs(soft, cnst[:, None], pay_eq.noise_var[:, None])
         S = cfg.frame_capacity_symbols
         maxF = rxp["fec"]["max_frame_bits"]
-        x = jnp.arange(maxF, dtype=jnp.int32)[None, :]
-        sym = x // bps[:, None]
-        t = x - sym * bps[:, None]
-        valid = sym < S
-        sym = jnp.clip(sym, 0, S - 1)
-        flat = llr_bits.reshape(B, -1)  # [B, S*4]
-        llrs = jnp.take_along_axis(flat, sym * cn.MAX_BPS + t, axis=1)
-        llrs = jnp.where(valid, llrs, 0.0)
+        # serialize [B, S, 4] per-symbol LLRs into the frame bit stream:
+        # four static-k reshapes + a per-frame select (a dynamic-divisor
+        # gather here was one of the coded path's hottest ops)
+        llrs = jnp.zeros((B, maxF), llr_bits.dtype)
+        for k in (1, 2, 3, 4):
+            flat_k = llr_bits[:, :, :k].reshape(B, S * k)
+            flat_k = (flat_k[:, :maxF] if S * k >= maxF
+                      else jnp.pad(flat_k, ((0, 0), (0, maxF - S * k))))
+            llrs = jnp.where((bps == k)[:, None], flat_k, llrs)
         # header-announced TB payload length, gated on header CRC
         default_P = jnp.asarray(rxp["fec"]["tb_payload_tab"])[bps]
         P = jnp.where(header_ok, fields.tb_payload, default_P)

@@ -101,9 +101,8 @@ class StreamRx:
                 lock_state, cand, found, P
             )
             eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
-            offs = jnp.arange(P, dtype=jnp.int32)
-            idx = jnp.clip(trig[:, None] + offs[None, :], 0, samples.shape[-1] - 1)
-            frames = sync.cfo_correct(samples[idx], eps, cfg.fft_len)
+            frames = sync.cfo_correct(
+                sync.extract_windows(samples, trig, P), eps, cfg.fft_len)
             out = receiver.rx_frames(rxp, frames, fallback_cnst=fallback_cnst)
             # next fallback: last frame's accepted constellation
             new_fallback = jnp.full((F,), out.cnst_id[-1], jnp.int32)

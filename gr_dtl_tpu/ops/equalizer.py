@@ -126,8 +126,7 @@ def equalize_frame(spectra: jax.Array, init_taps: jax.Array,
         Y, pv, cid = xs  # Y: [B, fft], pv: [fft], cid: [B]
         eqd = Y / H  # [B, fft]
         # data-carrier decision (vectorized nearest point, mixed batch)
-        dec_idx = cn.hard_decision(eqd, cid[:, None])
-        dec = cn.map_symbols(dec_idx, cid[:, None])
+        _, dec = cn.nearest_point(eqd, cid[:, None])
         ref = jnp.where(pil[None, :], pv[None, :], dec)
         ref_safe = jnp.where(jnp.abs(ref) > 0, ref, 1.0)
         H_new = alpha * H + (1.0 - alpha) * Y / ref_safe

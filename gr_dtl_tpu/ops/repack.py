@@ -45,31 +45,38 @@ def bits_to_bytes(bits: jax.Array) -> jax.Array:
 def bytes_to_symbols(data: jax.Array, bps: jax.Array, n_symbols: int) -> jax.Array:
     """Repack bytes into k-bit symbols with per-frame k.
 
+    The per-frame ``k`` is handled by computing all four STATIC-``k``
+    repacks (each a free reshape + shift) and selecting per frame —
+    dynamic-divisor index math lowers to a per-element gather that is
+    orders of magnitude slower on TPU.
+
     Args:
       data:      [B, max_bytes] uint8.
-      bps:       [B] int32 bits per symbol (1..4); bits read beyond the
-                 byte buffer are taken as 0 via index clamping (callers
-                 size max_bytes >= n_symbols*max_bps/8 to avoid it).
+      bps:       [B] int32 bits per symbol (1..4); symbols beyond the
+                 byte buffer are 0 (callers size max_bytes >=
+                 n_symbols*max_bps/8 to avoid truncation).
       n_symbols: static symbol count per frame.
     Returns [B, n_symbols] int32 symbol indices.
     """
-    bits = bytes_to_bits(data)  # [B, max_bits]
-    max_bits = bits.shape[-1]
-    s = jnp.arange(n_symbols, dtype=jnp.int32)[None, :, None]  # [1, S, 1]
-    j = jnp.arange(4, dtype=jnp.int32)[None, None, :]  # [1, 1, 4]
-    k = bps[:, None, None].astype(jnp.int32)  # [B, 1, 1]
-    idx = s * k + j
-    valid = j < k
-    idx = jnp.clip(idx, 0, max_bits - 1)
-    got = jnp.take_along_axis(bits, idx.reshape(bits.shape[0], -1), axis=-1)
-    got = got.reshape(bits.shape[0], n_symbols, 4).astype(jnp.int32)
-    got = jnp.where(valid, got, 0)
+    bits = bytes_to_bits(data).astype(jnp.int32)  # [B, max_bits]
+    B, max_bits = bits.shape
+    out = jnp.zeros((B, n_symbols), jnp.int32)
     weights = jnp.int32(1) << jnp.arange(4, dtype=jnp.int32)
-    return jnp.sum(got * weights, axis=-1, dtype=jnp.int32)
+    for k in (1, 2, 3, 4):
+        need = n_symbols * k
+        bk = bits[:, :need] if need <= max_bits else jnp.pad(
+            bits, ((0, 0), (0, need - max_bits)))
+        sym_k = jnp.sum(bk.reshape(B, n_symbols, k) * weights[:k], axis=-1,
+                        dtype=jnp.int32)
+        out = jnp.where((bps == k)[:, None], sym_k, out)
+    return out
 
 
 def symbols_to_bytes(symbols: jax.Array, bps: jax.Array, max_bytes: int) -> jax.Array:
-    """Inverse of :func:`bytes_to_symbols`.
+    """Inverse of :func:`bytes_to_symbols` (same static-``k`` + select
+    design: the previous ``t // k`` per-frame-divisor formulation was
+    the single hottest op in the whole receiver at 40+ ms/step for 1024
+    frames; four static repacks + a select are ~free).
 
     Args:
       symbols:  [B, n_symbols] int32.
@@ -78,14 +85,12 @@ def symbols_to_bytes(symbols: jax.Array, bps: jax.Array, max_bytes: int) -> jax.
     Returns [B, max_bytes] uint8.
     """
     B, S = symbols.shape
-    # bit t of the stream = bit (t mod k) of symbol (t div k)
-    t = jnp.arange(max_bytes * 8, dtype=jnp.int32)[None, :]  # [1, T]
-    k = bps[:, None].astype(jnp.int32)
-    sym_i = t // k
-    bit_j = t - sym_i * k
-    valid = sym_i < S
-    sym_i = jnp.clip(sym_i, 0, S - 1)
-    vals = jnp.take_along_axis(symbols, sym_i, axis=-1)
-    bits = (vals >> bit_j) & 1
-    bits = jnp.where(valid, bits, 0)
-    return bits_to_bytes(bits)
+    T = max_bytes * 8
+    out_bits = jnp.zeros((B, T), jnp.int32)
+    for k in (1, 2, 3, 4):
+        bits_k = (symbols[:, :, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
+        flat = bits_k.reshape(B, S * k)
+        flat = (flat[:, :T] if S * k >= T
+                else jnp.pad(flat, ((0, 0), (0, T - S * k))))
+        out_bits = jnp.where((bps == k)[:, None], flat, out_bits)
+    return bits_to_bytes(out_bits)

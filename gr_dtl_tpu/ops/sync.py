@@ -35,16 +35,59 @@ __all__ = [
     "frame_triggers",
     "fine_cfo",
     "cfo_correct",
+    "extract_windows",
 ]
 
 _HALF = 32  # repetition lag: fft_len // 2
 
 
+def extract_windows(stream: jax.Array, trig: jax.Array, length: int) -> jax.Array:
+    """Gather per-trigger sample windows as contiguous slices.
+
+    ``vmap(dynamic_slice)`` lowers to a slice-gather (one contiguous
+    read per window) — ~4x faster on TPU than the equivalent
+    element-index gather ``stream[trig[:, None] + arange(length)]``.
+    Out-of-range triggers are clamped to the window START (the last
+    full window), so callers must pad the stream past the final frame
+    (every call site already does).
+
+    Args:
+      stream: [N] complex64.
+      trig:   [B] int32 window start indices.
+      length: static window length.
+    Returns [B, length].
+    """
+    t = jnp.clip(trig, 0, stream.shape[-1] - length)
+    return jax.vmap(
+        lambda ti: jax.lax.dynamic_slice(stream, (ti,), (length,))
+    )(t)
+
+
 def _moving_sum(x: jax.Array, w: int) -> jax.Array:
-    """[N] -> [N - w + 1] windowed sums via cumsum (O(N), vectorized)."""
-    c = jnp.cumsum(x, axis=-1)
-    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
-    return c[..., w:] - c[..., :-w]
+    """[N] -> [N - w + 1] windowed sums, numerically exact at any N.
+
+    NOT a global-cumsum difference: on multi-Msample streams a float32
+    running sum grows past the 24-bit mantissa and the two-big-numbers
+    difference corrupts the metric enough to mis-trigger later frames
+    (observed as batch-size-dependent CRC failures).  Instead, two-level
+    block sums: within each w-sized block an exclusive prefix, plus the
+    block total — every term sums at most 2w values, so precision is
+    independent of stream length.
+    """
+    n = x.shape[-1]
+    out_len = n - w + 1
+    nb = -(-n // w)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * w - n)])
+    X = xp.reshape(*x.shape[:-1], nb, w)
+    pre = jnp.cumsum(X, axis=-1)
+    epre = jnp.concatenate([jnp.zeros_like(pre[..., :1]), pre[..., :-1]], axis=-1)
+    tot = pre[..., -1:]
+    epre_next = jnp.concatenate(
+        [epre[..., 1:, :], jnp.zeros_like(epre[..., :1, :])], axis=-2)
+    # window starting at d = b*w + j: tail of block b from j, plus the
+    # first j entries of block b+1
+    ms = (tot - epre) + epre_next
+    return ms.reshape(*x.shape[:-1], nb * w)[..., :out_len]
 
 
 def timing_metric(r: jax.Array, fft_len: int = 64):
@@ -138,16 +181,20 @@ def frame_triggers(M: jax.Array, phase: jax.Array, frame_samples: int,
     Returns [n_frames] int32 trigger positions (window-start indices).
     """
     base = phase + jnp.arange(n_frames, dtype=jnp.int32) * frame_samples
-    offs = jnp.arange(-search, search + 1, dtype=jnp.int32)
-    idx = jnp.clip(base[:, None] + offs[None, :], 0, M.shape[-1] - 1)
-    vals = M[idx]  # [n_frames, n_offs]
+    L = 2 * search + 1
+    start = jnp.clip(base - search, 0, M.shape[-1] - L)
+    vals = extract_windows(M, start, L)  # [n_frames, n_offs]
     local_max = jnp.max(vals, axis=-1, keepdims=True)
     on_plateau = vals > 0.8 * local_max
     w = jnp.where(on_plateau, vals, 0.0)
-    centroid = jnp.sum(w * idx.astype(w.dtype), axis=-1) / jnp.maximum(
+    # centroid over RELATIVE offsets: absolute sample indices overflow
+    # float32's 24-bit mantissa on long streams (a few Msamples), which
+    # skewed triggers by several samples and broke CRCs batch-dependently
+    rel = jnp.arange(L, dtype=jnp.float32)[None, :]
+    centroid_rel = jnp.sum(w * rel, axis=-1) / jnp.maximum(
         jnp.sum(w, axis=-1), 1e-12
     )
-    return jnp.round(centroid).astype(jnp.int32)
+    return start + jnp.round(centroid_rel).astype(jnp.int32)
 
 
 def fine_cfo(P: jax.Array, triggers: jax.Array, cp_len: int = 16) -> jax.Array:
@@ -157,9 +204,9 @@ def fine_cfo(P: jax.Array, triggers: jax.Array, cp_len: int = 16) -> jax.Array:
     for noise robustness (the reference takes the single-sample value
     the ``ofdm_sync_sc_cfb`` block latched at the trigger).
     """
-    offs = jnp.arange(-(cp_len // 2), cp_len // 2 + 1, dtype=jnp.int32)
-    idx = jnp.clip(triggers[:, None] + offs[None, :], 0, P.shape[-1] - 1)
-    Pav = jnp.sum(P[idx], axis=-1)
+    L = cp_len + 1
+    start = jnp.clip(triggers - cp_len // 2, 0, P.shape[-1] - L)
+    Pav = jnp.sum(extract_windows(P, start, L), axis=-1)
     return (jnp.angle(Pav) / jnp.pi).astype(jnp.float32)
 
 

@@ -62,9 +62,8 @@ def _make_local_block_rx(cfg, rxp, frames_per_block: int, block: int):
         phase = sync.phase_from_folded(folded, frame_samples, cfg.cp_len)
         trig = sync.frame_triggers(M, phase, frame_samples, frames_per_block)
         eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
-        offs = jnp.arange(frame_samples, dtype=jnp.int32)
-        idx = jnp.clip(trig[:, None] + offs[None, :], 0, ext.shape[-1] - 1)
-        frames = sync.cfo_correct(ext[idx], eps, cfg.fft_len)
+        frames = sync.cfo_correct(
+            sync.extract_windows(ext, trig, frame_samples), eps, cfg.fft_len)
         return receiver.rx_frames(rxp, frames)
 
     return local_block_rx
