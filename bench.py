@@ -59,7 +59,7 @@ def main():
     txp = transmitter.build_tx(txcfg)
     rxp = receiver.build_rx(cfg)
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024  # frames per step
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048  # frames per step
     n_samples = B * cfg.frame_samples
 
     rng = np.random.RandomState(0)

@@ -212,17 +212,16 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
     )
     crc = gf2.crc_device(pay_padded, payload_len, fec["crc_tables"])
     pay_bits = repack.bytes_to_bits(payload)  # [B, maxpay*8]
-    crc_bits = ((crc[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1).astype(
-        jnp.int32
-    )
     maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
     x = jnp.arange(maxP, dtype=jnp.int32)[None, :]
     Lbits = payload_len[:, None] * 8
-    crc_idx = jnp.clip(x - Lbits, 0, 31)
+    # crc bit (x - Lbits) by dynamic shift (no per-element gather)
+    crc_at_x = ((crc[:, None] >> jnp.clip(x - Lbits, 0, 31).astype(jnp.uint32))
+                & 1).astype(jnp.int32)
     tb_bits = jnp.where(
         x < Lbits,
         jnp.pad(pay_bits, ((0, 0), (0, maxP - pay_bits.shape[1])))[:, :maxP],
-        jnp.where(x < Lbits + 32, jnp.take_along_axis(crc_bits, crc_idx, axis=1), 0),
+        jnp.where(x < Lbits + 32, crc_at_x, 0),
     ).astype(jnp.int32)
 
     Cmax = fec["max_ncws"]
@@ -431,14 +430,11 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     xb = jnp.arange(all_bytes.shape[1], dtype=jnp.int32)[None, :]
     payload = jnp.where(xb < user_bytes[:, None], all_bytes, 0)
     crc = gf2.crc_device(payload, user_bytes, fec["crc_tables"])
-    # received crc: 4 bytes at user_bytes offset
-    crc_idx = jnp.clip(xb - user_bytes[:, None], 0, 3)
-    crcb = ((crc[:, None] >> (jnp.arange(4, dtype=jnp.uint32) * 8)) & 0xFF).astype(
-        jnp.uint8
-    )
+    # received crc: 4 bytes at user_bytes offset, extracted by shift
+    sh = (jnp.clip(xb - user_bytes[:, None], 0, 3) * 8).astype(jnp.uint32)
     want = jnp.where(
         (xb >= user_bytes[:, None]) & (xb < user_bytes[:, None] + 4),
-        jnp.take_along_axis(crcb, crc_idx, axis=1), 0,
+        ((crc[:, None] >> sh) & 0xFF).astype(jnp.uint8), 0,
     )
     got = jnp.where(
         (xb >= user_bytes[:, None]) & (xb < user_bytes[:, None] + 4), all_bytes, 0

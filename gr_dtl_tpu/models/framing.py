@@ -57,10 +57,10 @@ def build_frame_bytes(payload: jax.Array, payload_len: jax.Array,
     ]
     pay = jnp.where(j < L, pay, 0)  # the affine CRC needs zeros beyond L
     crc = gf2.crc_device(pay, payload_len, crc_tables)
-    crcb = _crc_bytes(crc)
-    # crc byte index for position j is j - L (gathered with clamp)
-    crc_idx = jnp.clip(j - L, 0, CRC_LEN - 1)
-    crc_at_j = jnp.take_along_axis(crcb, crc_idx, axis=1)
+    # crc byte for position j is byte (j - L): extract by dynamic shift
+    # (pure ALU — a take_along_axis here is a per-element gather)
+    sh = (jnp.clip(j - L, 0, CRC_LEN - 1) * 8).astype(jnp.uint32)
+    crc_at_j = ((crc[:, None] >> sh) & 0xFF).astype(jnp.uint8)
     rand = jax.random.randint(key, (B, max_frame_bytes), 0, 256, dtype=jnp.int32).astype(
         jnp.uint8
     )
@@ -84,11 +84,9 @@ def verify_frame_bytes(frame: jax.Array, l_total: jax.Array,
     L = payload_len[:, None]
     payload = jnp.where(j < L, frame, 0)
     crc = gf2.crc_device(payload, payload_len, crc_tables)
-    crcb = _crc_bytes(crc)
-    crc_idx = jnp.clip(j - L, 0, CRC_LEN - 1)
+    sh = (jnp.clip(j - L, 0, CRC_LEN - 1) * 8).astype(jnp.uint32)
+    crc_at_j = ((crc[:, None] >> sh) & 0xFF).astype(jnp.uint8)
     got_at_j = jnp.where((j >= L) & (j < L + CRC_LEN), frame, 0)
-    want_at_j = jnp.where(
-        (j >= L) & (j < L + CRC_LEN), jnp.take_along_axis(crcb, crc_idx, axis=1), 0
-    )
+    want_at_j = jnp.where((j >= L) & (j < L + CRC_LEN), crc_at_j, 0)
     crc_ok = jnp.all(got_at_j == want_at_j, axis=1) & (l_total >= CRC_LEN)
     return payload, payload_len, crc_ok
