@@ -137,6 +137,18 @@ def build_fec(cfg, H, tb_frames: int = 1):
     }
 
 
+def _gather_slices(rows: jax.Array, starts: jax.Array, length: int) -> jax.Array:
+    """rows [G, T], starts [G, C] -> [G, C, length] contiguous windows
+    (slice gather; rows right-padded so short tail windows never shift)."""
+    def per_row(row, st):
+        row = jnp.pad(row, (0, length))
+        st = jnp.clip(st, 0, row.shape[-1] - length)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(row, (s,), (length,)))(st)
+
+    return jax.vmap(per_row)(rows, starts)
+
+
 def _cw_schedule(fec, bps: jax.Array, fec_id: jax.Array | None = None):
     """Vectorized per-frame codeword schedule.
 
@@ -238,8 +250,8 @@ def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
 
         cws = ldpc.encode(msgs.reshape(-1, k).astype(jnp.float32), code)
         cws = cws.reshape(B, Cmax, n)
-        n_tx = n
         tx_cws = cws  # already in [check | systematic] tx layout
+        n_tx = n
         m_col = m
     else:
         # bank path: padded cw layout [parity: Mmax | sys: Kmax]
@@ -352,24 +364,12 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
 
     G = llrs.shape[0]  # groups (== B when W == 1)
 
-    def cw_slices(llrs_row, starts, length):
-        """Per-codeword contiguous windows: vmap(dynamic_slice) lowers
-        to a slice gather (one contiguous read per cw) instead of an
-        elementwise index gather over G*Cmax*n positions.  The row is
-        right-padded by `length` so the shortened last codeword's window
-        never shifts (padding reads are masked by `sent`)."""
-        row = jnp.pad(llrs_row, (0, length))
-        s = jnp.clip(starts, 0, row.shape[-1] - length)
-        return jax.vmap(
-            lambda st: jax.lax.dynamic_slice(row, (st,), (length,))
-        )(s)
-
     if fec_id is None:
-        # gather per-cw LLRs; shortened/systematic-beyond-k' pinned
+        # gather per-cw LLRs (contiguous slice gather);
+        # shortened/systematic-beyond-k' pinned
         j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
         sent = j < m + sched["k_prime"][:, :, None]
-        cw_llrs = jax.vmap(cw_slices, in_axes=(0, 0, None))(
-            llrs, sched["cw_start"], n)
+        cw_llrs = _gather_slices(llrs, sched["cw_start"], n)
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
         bits, iters, ok = ldpc.decode(

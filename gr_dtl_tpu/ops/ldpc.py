@@ -203,7 +203,9 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
         v2c_var = total[:, :, None] - inc  # [B, N, C]
         v2c = v2c_var[:, rev_var, rev_slot]  # [B, M, R]
         new_c2v = check_update(v2c)
-        # freeze messages once converged (early-exit semantics)
+        # freeze messages once converged (early-exit semantics; a
+        # data-dependent while_loop would exit earlier but SEGFAULTs the
+        # TPU compiler on this graph, so the loop is a fixed-length scan)
         c2v = jnp.where(done[:, None, None], c2v, new_c2v)
         iters_used = iters_used + (~done).astype(jnp.int32)
         return (c2v, iters_used, done), None
