@@ -1,0 +1,74 @@
+"""Long-stream float32 regressions: the Schmidl-Cox path must stay
+numerically exact on multi-Msample streams (global-cumsum moving sums
+and absolute-index centroids both silently corrupted sync past ~2M
+samples before being replaced)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.ops import channel
+from gr_dtl_tpu.ops.sync import _moving_sum, extract_windows
+from gr_dtl_tpu.models import receiver, transmitter
+
+
+def test_moving_sum_exact_any_position():
+    rng = np.random.RandomState(0)
+    for n, w in ((1000, 32), (4097, 32), (64, 32), (33, 32), (97, 16)):
+        x = rng.randn(n)
+        ref = np.array([x[i:i + w].sum() for i in range(n - w + 1)])
+        got = np.asarray(_moving_sum(jnp.asarray(x.astype(np.float32)), w))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-3, (n, w)
+    # precision must not degrade with a huge DC offset far into the
+    # stream (the global-cumsum version lost whole units here)
+    n, w = 1 << 21, 32
+    x = np.ones(n, np.float32)
+    got = np.asarray(_moving_sum(jnp.asarray(x), w))
+    assert np.abs(got - w).max() == 0.0
+
+
+def test_extract_windows_matches_index_gather():
+    rng = np.random.RandomState(1)
+    s = (rng.randn(5000) + 1j * rng.randn(5000)).astype(np.complex64)
+    trig = np.array([0, 7, 1234, 5000 - 100], np.int32)
+    got = np.asarray(extract_windows(jnp.asarray(s), jnp.asarray(trig), 100))
+    for i, t in enumerate(trig):
+        np.testing.assert_array_equal(got[i], s[t:t + 100])
+
+
+def test_long_stream_detection_exact():
+    """>2M-sample loopback: every frame must decode (float32 index
+    precision bugs used to fail frames batch-size-dependently)."""
+    cfg = cfgmod.make_rx_config(None, frame_length=4)
+    txcfg = cfgmod.make_tx_config(None, frame_length=4)
+    txp = transmitter.build_tx(txcfg)
+    B = 4096  # 4096 * 560 samples = 2.3 Msamples
+    rng = np.random.RandomState(2)
+    maxb = txcfg.max_frame_bytes()
+    plen = np.full(B, txcfg.frame_bytes(2) - 4, np.int32)
+    payload = np.zeros((B, maxb), np.uint8)
+    payload[:, : plen[0]] = rng.randint(0, 256, (B, plen[0]))
+
+    @jax.jit
+    def make_stream(p, l, c, f, k):
+        out = transmitter.tx_frames(txp, p, l, c, jnp.zeros(B, jnp.int32), f, k)
+        s = jnp.concatenate([out.samples.reshape(-1),
+                             jnp.zeros(2048, jnp.complex64)])
+        return channel.awgn(jax.random.PRNGKey(1), s, 0.02)
+
+    stream = make_stream(jnp.asarray(payload), jnp.asarray(plen),
+                         jnp.full(B, 2, jnp.int32),
+                         jnp.arange(B, dtype=jnp.int32) % 4096,
+                         jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(s):
+        frames, _ = receiver.detect_and_extract(s, cfg, B)
+        r = receiver.rx_frames(rxp, frames)
+        return r.crc_ok
+
+    rxp = receiver.build_rx(cfg)
+    ok = np.asarray(run(stream))
+    assert ok.all(), f"late-stream failures: {np.nonzero(~ok)[0][:10]}"
