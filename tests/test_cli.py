@@ -41,3 +41,55 @@ def test_full_duplex_cli(tmp_path):
     res = json.loads(out.strip().splitlines()[-1])
     assert res["a_tx_cnst_final"] >= 1
     assert res["b_crc_rate"] > 0.5
+
+
+def test_replay_cli_with_sdr_profile(tmp_path):
+    """BASELINE config 4 at the app layer: synthesize a capture with CFO
+    + noise + a leading pad, write raw complex64, and drive
+    tools/replay.py with the SDR profile (the reference's Pluto
+    workflow, examples/ofdm_adaptive_pluto.json analogue)."""
+    import numpy as np
+
+    gen = os.path.join(HERE, "tools", "_gen_capture_for_test.py")
+    cap = tmp_path / "capture.c64"
+    # generate the capture in a subprocess so this test stays a pure
+    # CLI-level check (and the CPU platform pin in the tools applies)
+    script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.models import transmitter
+from gr_dtl_tpu.ops import channel
+
+txcfg = cfgmod.make_tx_config("examples/ofdm_adaptive_sdr.json", frame_length=10)
+txp = transmitter.build_tx(txcfg)
+B = 6
+rng = np.random.RandomState(11)
+maxb = txcfg.max_frame_bytes()
+payload = np.zeros((B, maxb), np.uint8)
+plen = np.full((B,), txcfg.frame_bytes(2) - 4, np.int32)
+for i in range(B):
+    payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+out = transmitter.tx_frames(txp, jnp.asarray(payload), jnp.asarray(plen),
+    jnp.full((B,), 2, jnp.int32), jnp.zeros(B, jnp.int32),
+    jnp.arange(B, dtype=jnp.int32), jax.random.PRNGKey(3))
+stream = np.asarray(out.samples).reshape(-1)
+# oscillator offset + timing offset + noise, like a real capture
+n = np.arange(len(stream))
+stream = stream * np.exp(2j * np.pi * 0.2 / txcfg.fft_len * n)
+stream = np.concatenate([np.zeros(37, np.complex64), stream])
+rng2 = np.random.RandomState(12)
+stream = stream + 0.01 * (rng2.randn(len(stream)) + 1j * rng2.randn(len(stream))) / np.sqrt(2)
+stream.astype(np.complex64).tofile({str(cap)!r})
+"""
+    subprocess.run([sys.executable, "-c", script], check=True, cwd=HERE,
+                   timeout=420)
+    out = _run([
+        "tools/replay.py", str(cap), "--frames", "5",
+        "--frame-length", "10",
+        "--config", "examples/ofdm_adaptive_sdr.json", "--json",
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["header_ok_rate"] == 1.0
+    assert res["crc_ok_rate"] == 1.0
+    assert abs(res["mean_cfo_subcarriers"] - 0.2) < 0.05
