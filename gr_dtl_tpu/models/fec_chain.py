@@ -372,7 +372,7 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         cw_llrs = _gather_slices(llrs, sched["cw_start"], n)
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
-        bits, iters, ok = ldpc.decode(
+        bits, iters, ok = ldpc.decode_mm(
             cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
         )
         bits = bits.reshape(G, Cmax, n)

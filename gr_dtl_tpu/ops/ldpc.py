@@ -36,7 +36,7 @@ import numpy as np
 
 from gr_dtl_tpu.ops import gf2
 
-__all__ = ["build_ldpc", "encode", "decode", "SHORTENED_LLR",
+__all__ = ["build_ldpc", "encode", "decode", "decode_mm", "SHORTENED_LLR",
            "build_ldpc_bank", "encode_bank", "decode_bank"]
 
 SHORTENED_LLR = 15.0
@@ -120,6 +120,15 @@ def build_ldpc(H: np.ndarray):
                 var_edges[c, var_deg[c]] = (r, s)
                 var_deg[c] += 1
 
+    # flat edge list + dense incidence matrices for the matmul-form BP
+    # (decode_mm): edge e has endpoints (edge_chk[e], edge_var[e])
+    edge_chk, edge_var = np.nonzero(Ht)
+    E = edge_chk.size
+    Vmat = np.zeros((N, E), np.float32)  # var  x edge incidence
+    Cmat = np.zeros((M, E), np.float32)  # check x edge incidence
+    Vmat[edge_var, np.arange(E)] = 1.0
+    Cmat[edge_chk, np.arange(E)] = 1.0
+
     return {
         "M": M, "N": N, "K": K,
         "A": A.astype(np.float32),  # [M, K] parity generator
@@ -128,6 +137,7 @@ def build_ldpc(H: np.ndarray):
         "var_edges": var_edges,  # [N, max_col, (check, slot)]
         "var_mask": (var_edges[..., 0] >= 0),
         "Ht": Ht,
+        "E": E, "Vmat": Vmat, "Cmat": Cmat,
     }
 
 
@@ -219,6 +229,59 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
     inc = gather_c2v_for_vars(c2v)
     inc = jnp.where(var_mask[None], inc, 0.0)
     total = llr + jnp.sum(inc, axis=-1)
+    hard = (total < 0).astype(jnp.int32)
+    ok = done | syndrome_ok_of(total)
+    return hard, iters_used, ok
+
+
+def decode_mm(llr: jax.Array, code, max_iters: int = 15):
+    """Batched sum-product BP in matmul form (MXU-resident hot loop).
+
+    Same contract as :func:`decode`, different schedule: messages are a
+    flat ``[B, E]`` edge tensor and every per-iteration scatter/gather of
+    the adjacency-walk formulation becomes a dense 0/1 incidence-matrix
+    matmul ([B,E]@[E,N], [B,N]@[N,E], [B,E]@[E,M], [B,M]@[M,E]) — for the
+    codes here (E≈3N, tiny M/N) these land on the systolic array instead
+    of the gather pipeline.  The check-node leave-one-out product runs in
+    log/sign domain so it, too, is two matmuls + elementwise.
+
+    Numerics match :func:`decode` up to the log/exp round trip (same
+    tanh clip, same 0.999999 arctanh guard); syndrome checks are exact.
+    """
+    B, N = llr.shape
+    Vmat = jnp.asarray(code["Vmat"])          # [N, E]
+    Cmat = jnp.asarray(code["Cmat"])          # [M, E]
+    Htf = jnp.asarray(code["Ht"], jnp.float32)  # [M, N]
+
+    def syndrome_ok_of(total):
+        hard = (total < 0).astype(jnp.float32)
+        synd = hard @ Htf.T                   # [B, M] (counts, exact in f32)
+        return jnp.all(synd % 2.0 == 0.0, axis=-1)
+
+    def body(carry, _):
+        c2v, iters_used, done = carry         # c2v: [B, E]
+        total = llr + c2v @ Vmat.T            # [B, N]
+        done = done | syndrome_ok_of(total)
+        v2c = total @ Vmat - c2v              # leave-one-out at variables
+        t = jnp.tanh(jnp.clip(v2c, -20.0, 20.0) / 2.0)
+        mag = jnp.log(jnp.maximum(jnp.abs(t), 1e-12))
+        neg = (t < 0).astype(jnp.float32)
+        sum_mag = mag @ Cmat.T                # [B, M]
+        sum_neg = neg @ Cmat.T
+        loo_mag = sum_mag @ Cmat - mag        # leave-one-out at checks
+        loo_neg = sum_neg @ Cmat - neg
+        sign = 1.0 - 2.0 * (loo_neg % 2.0)
+        loo = jnp.clip(sign * jnp.exp(loo_mag), -0.999999, 0.999999)
+        new_c2v = 2.0 * jnp.arctanh(loo)
+        c2v = jnp.where(done[:, None], c2v, new_c2v)
+        iters_used = iters_used + (~done).astype(jnp.int32)
+        return (c2v, iters_used, done), None
+
+    c2v0 = jnp.zeros((B, int(code["E"])), jnp.float32)
+    (c2v, iters_used, done), _ = jax.lax.scan(
+        body, (c2v0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
+        None, length=max_iters)
+    total = llr + c2v @ Vmat.T
     hard = (total < 0).astype(jnp.int32)
     ok = done | syndrome_ok_of(total)
     return hard, iters_used, ok

@@ -88,3 +88,36 @@ def test_decode_with_shortening():
     bits, _, ok = ldpc.decode(jnp.asarray(llr), code)
     np.testing.assert_array_equal(np.asarray(bits)[:, M : M + k_prime],
                                   msgs[:, :k_prime].astype(np.int32))
+
+def test_decode_mm_matches_gather_form():
+    """The matmul-form decoder is a schedule change, not a numerics
+    change: hard bits, iteration counts and syndrome verdicts must match
+    the adjacency-walk decoder on noisy input."""
+    code, _ = _load_code()
+    rng = np.random.RandomState(5)
+    B = 48
+    msgs = rng.randint(0, 2, size=(B, code["K"])).astype(np.float32)
+    cw = np.asarray(ldpc.encode(jnp.asarray(msgs), code))
+    y = (1.0 - 2.0 * cw) + 0.7 * rng.randn(B, code["N"])
+    llr = jnp.asarray(2.0 * y / 0.49, dtype=jnp.float32)
+    b1, i1, ok1 = ldpc.decode(llr, code, max_iters=15)
+    b2, i2, ok2 = ldpc.decode_mm(llr, code, max_iters=15)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+
+
+def test_decode_mm_with_shortening():
+    code, _ = _load_code()
+    rng = np.random.RandomState(6)
+    kp = code["K"] - 9  # shortened systematic length
+    msgs = np.zeros((8, code["K"]), np.float32)
+    msgs[:, :kp] = rng.randint(0, 2, size=(8, kp))
+    cw = np.asarray(ldpc.encode(jnp.asarray(msgs), code))
+    llr = (1.0 - 2.0 * cw) * 2.0 + 0.8 * rng.randn(8, code["N"])
+    llr[:, code["M"] + kp:] = ldpc.SHORTENED_LLR  # pinned, never sent
+    bits, _, ok = ldpc.decode_mm(jnp.asarray(llr, jnp.float32), code)
+    assert bool(jnp.all(ok))
+    np.testing.assert_array_equal(
+        np.asarray(bits)[:, code["M"]:code["M"] + kp],
+        msgs[:, :kp].astype(np.int32))
