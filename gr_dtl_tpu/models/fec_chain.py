@@ -179,6 +179,30 @@ def _cw_schedule(fec, bps: jax.Array, fec_id: jax.Array | None = None):
             "real": real, "ncws": ncws, "payload_bits": P, "m": m}
 
 
+def _static_schedule(fec, bps: int, fec_idx: int | None = None):
+    """Host-side (numpy) codeword schedule for one (bps, code) pair —
+    the same closed forms as :func:`_cw_schedule`, but with Python ints
+    so the resulting gather indices are compile-time constants."""
+    Cmax = fec["max_ncws"]
+    if fec_idx is None:
+        m = int(fec["m"])
+        ncws = int(fec["ncws_tab"][bps])
+        P = int(fec["tb_payload_tab"][bps])
+    else:
+        m = int(fec["bank"]["m_tab"][fec_idx])
+        ncws = int(fec["ncws_tab2"][fec_idx, bps])
+        P = int(fec["tb_payload_tab2"][fec_idx, bps])
+    i = np.arange(Cmax, dtype=np.int32)
+    real = i < ncws
+    k_prime = np.where(real, (P - i + ncws - 1) // max(ncws, 1), 0).astype(np.int32)
+    sys_start = np.cumsum(k_prime) - k_prime
+    cw_len = np.where(real, k_prime + m, 0)
+    cw_start = (np.cumsum(cw_len) - cw_len).astype(np.int32)
+    return {"k_prime": k_prime, "cw_start": cw_start,
+            "sys_start": sys_start.astype(np.int32), "real": real,
+            "payload_bits": P, "m": m, "ncws": ncws}
+
+
 def fec_frame_build(fec, payload: jax.Array, payload_len: jax.Array,
                     cnst_id: jax.Array, fec_id: jax.Array | None = None):
     """TX: user bytes -> frame bit stream (LDPC-coded, shortened).
@@ -365,12 +389,22 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     G = llrs.shape[0]  # groups (== B when W == 1)
 
     if fec_id is None:
-        # gather per-cw LLRs (contiguous slice gather);
-        # shortened/systematic-beyond-k' pinned
-        j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
-        sent = j < m + sched["k_prime"][:, :, None]
-        cw_llrs = _gather_slices(llrs, sched["cw_start"], n)
-        cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
+        # With a single code the codeword layout is a function of bps
+        # alone (4 possible values), so all gather indices are
+        # compile-time constants: build each bps variant with a static
+        # gather and select per frame.  This replaced a vmapped
+        # dynamic_slice (and, below, a scatter) that together cost more
+        # than the BP decode itself on chip.
+        maxF = llrs.shape[1]
+        jj = np.arange(n, dtype=np.int32)[None, :]
+        cw_llrs = jnp.full((G, Cmax, n), ldpc.SHORTENED_LLR, llrs.dtype)
+        for kb in range(1, 5):
+            s = _static_schedule(fec, kb)
+            pos = np.clip(s["cw_start"][:, None] + jj, 0, maxF - 1)
+            sent = jj < m + s["k_prime"][:, None]
+            v = llrs[:, jnp.asarray(pos)]  # [G, C, n] static-index gather
+            v = jnp.where(jnp.asarray(sent)[None], v, ldpc.SHORTENED_LLR)
+            cw_llrs = jnp.where((bps == kb)[:, None, None], v, cw_llrs)
 
         bits, iters, ok = ldpc.decode_mm(
             cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
@@ -417,12 +451,28 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
 
     # reassemble TB payload bits from systematic parts
     maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
-    t = jnp.arange(k_sys, dtype=jnp.int32)[None, None, :]
-    take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
-    dst = jnp.where(take, sched["sys_start"][:, :, None] + t, maxP)
-    tb_bits = jnp.zeros((G, maxP + 1), jnp.int32)
-    tb_bits = tb_bits.at[jnp.arange(G)[:, None, None], dst].set(sys_bits)
-    tb_bits = tb_bits[:, :maxP]
+    if fec_id is None:
+        # static per-bps inverse maps (payload bit p -> (codeword, offset)),
+        # selected per frame — a gather instead of the scatter below
+        pp = np.arange(maxP, dtype=np.int32)
+        tb_bits = jnp.zeros((G, maxP), jnp.int32)
+        for kb in range(1, 5):
+            s = _static_schedule(fec, kb)
+            ends = np.cumsum(s["k_prime"])
+            cw_of_p = np.minimum(
+                np.searchsorted(ends, pp, side="right"), Cmax - 1)
+            off = np.clip(pp - s["sys_start"][cw_of_p], 0, k_sys - 1)
+            valid = pp < s["payload_bits"]
+            v = sys_bits[:, jnp.asarray(cw_of_p), jnp.asarray(off)]
+            v = jnp.where(jnp.asarray(valid)[None], v, 0)
+            tb_bits = jnp.where((bps == kb)[:, None], v, tb_bits)
+    else:
+        t = jnp.arange(k_sys, dtype=jnp.int32)[None, None, :]
+        take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
+        dst = jnp.where(take, sched["sys_start"][:, :, None] + t, maxP)
+        tb_bits = jnp.zeros((G, maxP + 1), jnp.int32)
+        tb_bits = tb_bits.at[jnp.arange(G)[:, None, None], dst].set(sys_bits)
+        tb_bits = tb_bits[:, :maxP]
 
     P = tb_payload_len if tb_payload_len is not None else sched["payload_bits"]
     user_bytes = (P - CRC_LEN_BITS) // 8
