@@ -52,11 +52,14 @@ def build_rx(cfg, fec=None):
     enable the LDPC transport-block path."""
     if cfg.fec and fec is None:
         raise ValueError("cfg.fec=True requires a fec table (fec_chain.build_fec)")
+    eq = equalizer.build_equalizer(cfg)
     return {
         "cfg": cfg,
         "alloc": ofdm.build_allocator(cfg),
         "ce": chanest.build_chanest(cfg),
-        "eq": equalizer.build_equalizer(cfg),
+        "eq": eq,
+        # refinement-pass equalizer: taps start near-true, track slowly
+        "eq2": dict(eq, alpha=getattr(cfg, "eq_pass2_alpha", 0.95)),
         "crc_tables": gf2.make_crc_tables(gf2.CRC32_FRAME, cfg.max_frame_bytes()),
         "has_fec": cfg.fec,
         "fec": fec,
@@ -111,27 +114,71 @@ def rx_frames(rxp, frames: jax.Array,
     hs = cfg.header_symbols
     n_sync = cfg.n_sync_symbols
     occ = jnp.asarray(rxp["alloc"]["occ_idx"])
-
-    # --- header pass (BPSK) ---
     hdr_spec = spectra[:, n_sync : n_sync + hs]
+    pay_spec = spectra[:, n_sync + hs :]
     bpsk = jnp.full((B,), int(cn.ConstellationType.BPSK), jnp.int32)
-    hdr_eq = equalizer.equalize_frame(hdr_spec, taps0, bpsk, rxp["eq"], sym_offset=0)
-    hdr_bits = cn.hard_decision(hdr_eq.soft[:, :, occ], bpsk[:, None, None])
-    hdr_bits = hdr_bits.reshape(B, hs * cfg.n_data_carriers)
-    fields, header_ok = header.parse_header(hdr_bits, rxp["has_fec"])
-
-    # constellation gate: update only on CRC ok and a valid id
-    # (ref packet_header.cc:269-273)
     if fallback_cnst is None:
         fallback_cnst = jnp.full((B,), int(cn.ConstellationType.BPSK), jnp.int32)
-    valid_id = (fields.cnst_id >= 1) & (fields.cnst_id <= 4)
-    cnst = jnp.where(header_ok & valid_id, fields.cnst_id, fallback_cnst)
 
-    # --- payload pass ---
-    pay_spec = spectra[:, n_sync + hs :]
-    pay_eq = equalizer.equalize_frame(
-        pay_spec, hdr_eq.taps, cnst, rxp["eq"], sym_offset=hs
+    # Equalize/parse in 1..eq_passes passes.  Pass 1 works from the
+    # 2-sync-symbol LS taps; each further pass re-estimates the taps by
+    # LS over EVERY symbol of the frame (known sync words + previous
+    # pass's decisions), projects onto the time-limited channel subspace
+    # (chanest.denoise_taps), and re-runs header parse + payload
+    # equalization with near-true CSI.  All passes are unrolled at trace
+    # time — one fused graph, no host round trips.
+    eq_passes = max(1, int(getattr(cfg, "eq_passes", 1)))
+    taps = taps0
+    eq_tab = rxp["eq"]
+    active = jnp.asarray(rxp["ce"]["active"])
+    sync_refs = jnp.broadcast_to(
+        jnp.stack([jnp.asarray(rxp["ce"]["w1"]), jnp.asarray(rxp["ce"]["w2"])]),
+        (B, n_sync, cfg.fft_len),
     )
+    for p in range(eq_passes):
+        # --- header pass (BPSK) ---
+        hdr_eq = equalizer.equalize_frame(hdr_spec, taps, bpsk, eq_tab, sym_offset=0)
+        hdr_bits = cn.hard_decision(hdr_eq.soft[:, :, occ], bpsk[:, None, None])
+        hdr_bits = hdr_bits.reshape(B, hs * cfg.n_data_carriers)
+        fields, header_ok = header.parse_header(hdr_bits, rxp["has_fec"])
+
+        # constellation gate: update only on CRC ok and a valid id
+        # (ref packet_header.cc:269-273)
+        valid_id = (fields.cnst_id >= 1) & (fields.cnst_id <= 4)
+        cnst = jnp.where(header_ok & valid_id, fields.cnst_id, fallback_cnst)
+
+        # --- payload pass ---
+        pay_eq = equalizer.equalize_frame(
+            pay_spec, hdr_eq.taps, cnst, eq_tab, sym_offset=hs
+        )
+        if p + 1 == eq_passes:
+            break
+        # data-aided tap re-estimation: per-carrier LS across the whole
+        # frame using the decided symbols as references (pilots are the
+        # known values already — equalize_frame puts them in .hard)
+        refs = jnp.concatenate([sync_refs, hdr_eq.hard, pay_eq.hard], axis=1)
+        refs = jnp.where(active[None, None, :], refs, 0.0)
+        # residual-CFO repair: a fractional-CFO estimation error rotates
+        # symbol s by a common phase ~ s * d (up to ~2 deg/symbol from
+        # the Schmidl-Cox plateau average at high SNR), which would
+        # decohere an LS average over the frame's symbols.  Estimate the
+        # per-symbol drift d from consecutive matched-filter phases and
+        # de-rotate the whole frame — a data-aided fine-CFO refinement
+        # the reference has no analogue for (its EMA equalizer absorbs
+        # the drift instead, at the cost of tap noise).
+        z = jnp.sum(spectra * jnp.conj(refs * taps[:, None, :]), axis=-1)
+        d = jnp.angle(jnp.sum(z[:, 1:] * jnp.conj(z[:, :-1]), axis=-1))
+        srange = jnp.arange(spectra.shape[1], dtype=jnp.float32)
+        rot = jnp.exp(-1j * d[:, None] * srange[None, :])
+        spectra = spectra * rot[:, :, None]
+        hdr_spec = spectra[:, n_sync : n_sync + hs]
+        pay_spec = spectra[:, n_sync + hs :]
+        num = jnp.sum(spectra * jnp.conj(refs), axis=1)
+        den = jnp.sum(jnp.abs(refs) ** 2, axis=1)
+        taps = jnp.where(den > 1e-9, num / jnp.maximum(den, 1e-9), 1.0)
+        taps = chanest.denoise_taps(taps, rxp["ce"])
+        taps = jnp.where(active[None, :], taps, 1.0).astype(jnp.complex64)
+        eq_tab = rxp["eq2"]
     soft = pay_eq.soft[:, :, occ].reshape(B, cfg.frame_capacity_symbols)
     bps = jnp.asarray(cn.BITS_PER_SYMBOL)[cnst]
 

@@ -28,7 +28,30 @@ __all__ = [
     "estimate_carrier_offset",
     "apply_carrier_shift",
     "estimate_taps",
+    "denoise_taps",
 ]
+
+
+def _time_support_projection(active_idx: np.ndarray, fft_len: int,
+                             support: int) -> np.ndarray:
+    """LS projection onto frequency responses of time-limited channels.
+
+    The taps seen by the equalizer are H[c] = sum_t g[t] e^{-2i pi c t/N}
+    with the impulse response g supported on t in [0, support): the FFT
+    window starts at the head of the cyclic prefix, so a flat channel is
+    a pure delay of cp_len and any physical delay spread <= cp_len keeps
+    the support below 2*cp_len+1.  Projecting the raw per-carrier LS
+    estimate onto that |S|-dimensional subspace cuts the estimation
+    noise by n_active/|S| (~2 dB here) at zero bias — the TPU-native
+    replacement for averaging taps over many frames.
+
+    Returns P [n_active, n_active] with denoised = P @ h_active.
+    """
+    c = active_idx.astype(np.float64) - fft_len // 2
+    t = np.arange(support, dtype=np.float64)
+    A = np.exp(-2j * np.pi * np.outer(c, t) / fft_len)
+    P = A @ np.linalg.pinv(A)
+    return P.astype(np.complex64)
 
 
 def build_chanest(cfg, max_carr_offset: int = 6):
@@ -38,14 +61,32 @@ def build_chanest(cfg, max_carr_offset: int = 6):
     active = np.zeros(cfg.fft_len, dtype=bool)
     for c in list(cfg.occupied_carriers) + list(cfg.pilot_carriers):
         active[c + half] = True
+    active_idx = np.nonzero(active)[0].astype(np.int32)
+    support = 2 * cfg.cp_len + 1
     return {
         "w1": w1,
         "w2": w2,
         "active": active,
+        "active_idx": active_idx,
+        "proj": _time_support_projection(active_idx, cfg.fft_len, support),
         "max_off": max_carr_offset,
         "fft_len": cfg.fft_len,
         "cp_len": cfg.cp_len,
     }
+
+
+def denoise_taps(taps: jax.Array, ce) -> jax.Array:
+    """Project per-carrier taps onto the time-limited channel subspace.
+
+    Args:
+      taps: [..., fft_len] complex taps (1.0 fill on inactive carriers).
+    Returns same shape; active carriers denoised, others untouched.
+    """
+    idx = jnp.asarray(ce["active_idx"])
+    proj = jnp.asarray(ce["proj"])
+    ha = taps[..., idx]  # [..., n_active]
+    hd = jnp.matmul(ha, proj.T)
+    return taps.at[..., idx].set(hd)
 
 
 def _shifted(y: jax.Array, off) -> jax.Array:
@@ -111,11 +152,13 @@ def apply_carrier_shift(spectra: jax.Array, carr_offset: jax.Array,
     return shifted * jnp.exp(1j * ph)[..., None]
 
 
-def estimate_taps(y1c: jax.Array, y2c: jax.Array, ce) -> jax.Array:
+def estimate_taps(y1c: jax.Array, y2c: jax.Array, ce,
+                  denoise: bool = True) -> jax.Array:
     """LS channel taps from offset-corrected sync spectra.
 
     Returns [B, fft_len] complex64; 1.0 on inactive carriers so later
-    divisions stay benign.
+    divisions stay benign.  ``denoise`` projects the estimate onto the
+    time-limited channel subspace (see :func:`denoise_taps`).
     """
     w1 = jnp.asarray(ce["w1"])
     w2 = jnp.asarray(ce["w2"])
@@ -125,4 +168,7 @@ def estimate_taps(y1c: jax.Array, y2c: jax.Array, ce) -> jax.Array:
     h1 = y1c / jnp.where(w1_nz, w1, 1.0)
     taps = jnp.where(w1_nz[None, :], 0.5 * (h1 + h2), h2)
     taps = jnp.where(active[None, :], taps, 1.0)
+    if denoise:
+        taps = denoise_taps(taps, ce)
+        taps = jnp.where(active[None, :], taps, 1.0)
     return taps.astype(jnp.complex64)

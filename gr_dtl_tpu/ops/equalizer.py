@@ -21,10 +21,17 @@ Semantics mirror the reference exactly:
    channels — set eq_alpha=0.1 for exact reference behavior),
  - hard output = decided symbols, soft output = pre-decision equalized
    symbols (ref equalizer.cc:250-260),
- - SNR from the equalized pilots: the reference's "simple" estimator
-   tracks y1=E|x|, y2=E|x|^2 and reports snr = y1^2/(y2-y1^2)
-   (gr mpsk_snr_est_simple); with the per-frame reset this is the plain
-   mean over the frame's pilots, which is what we compute.
+ - SNR from the equalized pilots.  Deviation from the reference: gr's
+   ``mpsk_snr_est_simple`` (y1=E|x|, y2=E|x|^2, snr=y1^2/(y2-y1^2))
+   measures only the *amplitude* component of the pilot error, which
+   under-counts the noise by ~2x (phase noise is invisible to |x|) and
+   over-reads SNR by ~3 dB once the channel taps are accurate.  Here
+   the noise is the full complex pilot error E|eqd - pilot|^2 — the
+   honest per-carrier noise variance, which is also exactly the sigma^2
+   the soft demapper's max-log metric needs (ops/constellation.soft_llrs).
+   The reference's bias was historically masked by its own tap noise;
+   with this framework's denoised/refined taps the honest estimator is
+   the one that keeps the MCS ladder thresholds meaning "true SNR in dB".
 """
 
 from __future__ import annotations
@@ -133,25 +140,26 @@ def equalize_frame(spectra: jax.Array, init_taps: jax.Array,
         upd = (occ | pil)[None, :]
         H = jnp.where(upd, H_new, H)
         hard = jnp.where(pil[None, :], pv[None, :], dec)
-        # pilot error statistics for SNR (pre-update equalized pilots)
-        perr = jnp.where(pil[None, :], eqd, 0.0)
-        p_y1 = jnp.sum(jnp.where(pil[None, :], jnp.abs(perr), 0.0), axis=-1)
-        p_y2 = jnp.sum(jnp.where(pil[None, :], jnp.abs(perr) ** 2, 0.0), axis=-1)
-        return H, (hard, eqd, p_y1, p_y2)
+        # pilot error statistics for SNR: full complex error of the
+        # pre-update equalized pilots vs the known pilot values
+        err = jnp.where(pil[None, :], eqd - pv[None, :], 0.0)
+        p_e2 = jnp.sum(jnp.abs(err) ** 2, axis=-1)
+        p_s2 = jnp.sum(jnp.where(pil[None, :], jnp.abs(pv[None, :]) ** 2, 0.0),
+                       axis=-1)
+        return H, (hard, eqd, p_e2, p_s2)
 
     xs = (
         jnp.moveaxis(spectra, 1, 0),  # [n_sym, B, fft]
         pilot_vals[sym_offset : sym_offset + n_sym],
         jnp.moveaxis(sym_cnst, 1, 0),  # [n_sym, B]
     )
-    H_final, (hard, soft, p_y1, p_y2) = jax.lax.scan(step, init_taps, xs)
+    H_final, (hard, soft, p_e2, p_s2) = jax.lax.scan(step, init_taps, xs)
 
     n_pilots = jnp.sum(pil)
     tot = n_sym * n_pilots
-    y1 = jnp.sum(p_y1, axis=0) / tot  # E|x| over all frame pilots
-    y2 = jnp.sum(p_y2, axis=0) / tot  # E|x|^2
-    noise_var = jnp.maximum(y2 - y1 * y1, 1e-12)
-    snr_db = 10.0 * jnp.log10(jnp.maximum(y1 * y1, 1e-12) / noise_var)
+    noise_var = jnp.maximum(jnp.sum(p_e2, axis=0) / tot, 1e-12)
+    sig_pw = jnp.maximum(jnp.sum(p_s2, axis=0) / tot, 1e-12)
+    snr_db = 10.0 * jnp.log10(sig_pw / noise_var)
 
     return EqualizerOut(
         hard=jnp.moveaxis(hard, 0, 1),

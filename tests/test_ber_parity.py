@@ -1,0 +1,55 @@
+"""BER parity with AWGN theory: the round's correctness target.
+
+Pins the north-star criterion (BASELINE.md): measured BER through the
+full TX -> AWGN -> RX chain within 0.5 dB of the textbook AWGN curve
+for every MCS at/above its ladder threshold, and BPSK usable down to
+~6 dB.  The reference's own functional bar is byte-exact loopback at
+high SNR (ref qa_ofdm_adaptive_txrx.py:49-114); these assertions are
+strictly stronger.
+
+Statistical sizing: each point uses enough frames that >=50 bit errors
+are expected at the theory rate, so a true 0.5 dB regression (x1.5-2 in
+BER) is detected with overwhelming probability while noise in a healthy
+run stays well inside the 0.7 dB assertion ceiling (0.5 target + margin
+for finite-sample wobble).
+"""
+
+import numpy as np
+import pytest
+
+from tools.ber_curve import implementation_loss_db, run_point
+
+# (cnst_id, channel snr dB, frames) — chosen so theory BER is measurable
+# with modest batch sizes.  BPSK@6 is the ladder's bottom rung; the
+# others sit at/near their MCS thresholds (QPSK switches in at 13 dB;
+# 8PSK/QAM16 points are below their 18/23 dB thresholds — i.e. harder
+# than any SNR the adaptive loop would ever run them at).
+POINTS = [
+    (1, 6.0, 256),
+    (2, 13.0, 128),
+    (3, 14.0, 192),
+    (4, 16.0, 128),
+]
+
+MAX_LOSS_DB = 0.7  # 0.5 dB target + finite-sample margin
+
+
+@pytest.mark.parametrize("cnst_id,snr_db,frames", POINTS)
+def test_ber_within_half_db_of_theory(cnst_id, snr_db, frames):
+    r = run_point(cnst_id, snr_db, frames, seed=int(10 * snr_db) + cnst_id,
+                  frame_length=10)
+    assert r["ber"] > 0, (
+        "point produced zero errors — raise frames or lower snr so the "
+        "test actually measures the loss")
+    assert r["loss_db"] is not None and r["loss_db"] <= MAX_LOSS_DB, (
+        f"cnst={cnst_id} @ {snr_db} dB: BER {r['ber']:.3e} vs theory "
+        f"{r['theory_ber']:.3e} -> implementation loss {r['loss_db']} dB "
+        f"(limit {MAX_LOSS_DB})")
+
+
+def test_bpsk_headers_survive_6db():
+    """The adaptive loop lives or dies on header decode at the ladder's
+    bottom; at 6 dB the header CRC16 must pass for ~the theory rate
+    (48 BPSK bits/frame -> ~96% with ideal CSI)."""
+    r = run_point(1, 6.0, 256, seed=7, frame_length=10)
+    assert r["hdr_ok_rate"] >= 0.90

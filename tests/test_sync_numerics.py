@@ -72,3 +72,44 @@ def test_long_stream_detection_exact():
     rxp = receiver.build_rx(cfg)
     ok = np.asarray(run(stream))
     assert ok.all(), f"late-stream failures: {np.nonzero(~ok)[0][:10]}"
+
+
+class TestTapDenoise:
+    """Time-support projection (chanest.denoise_taps)."""
+
+    def _ce(self):
+        from gr_dtl_tpu.utils import config as cfgmod
+        from gr_dtl_tpu.ops import chanest
+        cfg = cfgmod.make_rx_config(None)
+        return cfg, chanest.build_chanest(cfg)
+
+    def test_noiseless_time_limited_channel_is_fixed_point(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from gr_dtl_tpu.ops import chanest
+        cfg, ce = self._ce()
+        rng = np.random.RandomState(0)
+        support = 2 * cfg.cp_len + 1
+        g = (rng.randn(support) + 1j * rng.randn(support)) / np.sqrt(support)
+        c = np.arange(cfg.fft_len) - cfg.fft_len // 2
+        H = np.exp(-2j * np.pi * np.outer(c, np.arange(support)) / cfg.fft_len) @ g
+        taps = np.where(ce["active"], H, 1.0).astype(np.complex64)
+        out = np.asarray(chanest.denoise_taps(jnp.asarray(taps)[None], ce))[0]
+        np.testing.assert_allclose(out[ce["active"]], taps[ce["active"]],
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_noise_reduction(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from gr_dtl_tpu.ops import chanest
+        cfg, ce = self._ce()
+        rng = np.random.RandomState(1)
+        H = np.exp(-2j * np.pi * (np.arange(cfg.fft_len) - 32) * 16 / 64)
+        noise = 0.3 * (rng.randn(64) + 1j * rng.randn(64))
+        noisy = np.where(ce["active"], H + noise, 1.0).astype(np.complex64)
+        out = np.asarray(chanest.denoise_taps(jnp.asarray(noisy)[None], ce))[0]
+        a = ce["active"]
+        err_in = np.mean(np.abs(noisy[a] - H[a]) ** 2)
+        err_out = np.mean(np.abs(out[a] - H[a]) ** 2)
+        # |S|/n_active = 33/52 -> ~2 dB; assert we get most of it
+        assert err_out < 0.75 * err_in

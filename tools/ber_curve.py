@@ -2,16 +2,29 @@
 """BER/FER-vs-SNR curves over the AWGN loopback channel.
 
 Produces the correctness-baseline evidence for BASELINE.md: per-MCS
-BER curves through the *full* chain (TX -> channel -> sync -> chanest ->
-equalizer -> demap), comparable against textbook AWGN BER for each
-constellation (the reference publishes no curves of its own; its
-functional bar is byte-exact loopback at high SNR, which these curves
-subsume at their top end).
+BER curves through the *full* chain (TX -> channel -> chanest ->
+equalizer -> header parse -> demap), compared against exact textbook
+AWGN BER for each constellation (the reference publishes no curves of
+its own; its functional bar is byte-exact loopback at high SNR, which
+these curves subsume at their top end).
 
-The per-carrier SNR reported on the x axis accounts for the occupied-
-carrier concentration (52 active of 64 bins).  BER is counted over
-*all* transmitted payload bits (failed headers count their frame's bits
-as errored), FER over all frames.
+Measurement conventions (matching the reference's offline scorer
+``tools/ber.py:82-133``, which counts actual bit mismatches per frame):
+
+- the payload is decoded for EVERY frame — on header-CRC failure the
+  receiver falls back to the previous constellation exactly like the
+  reference (``ofdm_adaptive_packet_header.cc:269-273``) — and BER
+  counts the actual payload bit errors;
+- FER counts frames with a failed header or any payload bit error;
+- the theory axis uses the *exact* injected noise variance (awgn's
+  ``E|n|^2 = noise_voltage^2`` survives the unitary FFT unchanged), so
+  ``es_n0_db = -20 log10(noise_voltage)`` is the per-carrier SNR of a
+  unit-energy symbol, which is what the textbook formulas take (each
+  constellation's actual energy — e.g. QPSK's x0.5 amplitude — is
+  already inside its formula);
+- ``loss_db`` is the implementation loss: the horizontal shift d such
+  that theory(es_n0 - d) equals the measured BER.  The round target is
+  loss_db <= 0.5 at every MCS operating point.
 
 Usage: ber_curve.py [--snrs 2,4,...,16] [--frames 64] [--json out.json]
 """
@@ -34,20 +47,40 @@ def qfunc(x):
 
 
 def theory_ber(cnst_id: int, es_n0_db: float) -> float:
-    """Gray-coded AWGN BER approximations per constellation."""
+    """Gray-coded AWGN BER vs per-carrier Es/N0 of a UNIT-energy symbol.
+
+    Each formula folds in the constellation's actual energy scaling
+    (ids match ops/constellation.py; QPSK carries the reference's x0.5
+    amplitude, ref constellation.cc:18-24).
+    """
     es = 10 ** (es_n0_db / 10)
-    if cnst_id == 1:  # BPSK (Es == Eb)
+    if cnst_id == 1:  # BPSK +-1 (Es == Eb == 1)
         return qfunc(math.sqrt(2 * es))
-    if cnst_id == 2:  # QPSK (note x0.5 amplitude => Es/4)
+    if cnst_id == 2:  # QPSK x0.5 amplitude => per-axis a = 0.5*sqrt(2)/2
         return qfunc(math.sqrt(es * 0.25))
-    if cnst_id == 3:  # 8PSK
+    if cnst_id == 3:  # 8PSK unit circle
         return (2.0 / 3.0) * qfunc(math.sqrt(2 * es) * math.sin(math.pi / 8))
-    if cnst_id == 4:  # 16QAM
+    if cnst_id == 4:  # 16QAM levels +-1,+-3 / sqrt(10)
         return 0.75 * qfunc(math.sqrt(es / 5.0))
     raise ValueError(cnst_id)
 
 
-def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None):
+def implementation_loss_db(cnst_id: int, es_n0_db: float, measured: float) -> float:
+    """Horizontal dB shift d with theory(es_n0 - d) = measured (bisection)."""
+    if measured <= 0:
+        return 0.0
+    lo, hi = -3.0, 15.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if theory_ber(cnst_id, es_n0_db - mid) < measured:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
+              eq_passes=None):
     import jax
     import jax.numpy as jnp
 
@@ -56,8 +89,10 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None):
     from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
     use_fec = fec_alist is not None
+    kw = {} if eq_passes is None else {"eq_passes": eq_passes}
     cfg = cfgmod.make_tx_config(None, frame_length=frame_length, fec=use_fec)
-    rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length, fec=use_fec)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length, fec=use_fec,
+                                  **kw)
     fec = None
     if use_fec:
         fec = fec_chain.build_fec(cfg, alist_mod.load_alist(fec_alist))
@@ -82,8 +117,11 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None):
         jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
         jax.random.PRNGKey(seed),
     )
+    # noise level from the channel-SNR definition (mean TX sample power),
+    # theory axis from the EXACT injected noise variance
     sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
     noise_v = float(np.sqrt(sig / 10 ** (snr_db / 10)))
+    es_n0 = -20.0 * np.log10(noise_v)
     noisy = channel.awgn(jax.random.PRNGKey(seed + 1), out.samples, noise_v)
     rx = receiver.rx_frames(rxp, noisy, fallback_cnst=jnp.asarray(cnst))
 
@@ -94,23 +132,23 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None):
     frame_errors = 0
     for i in range(B):
         bits_total += int(plen[i]) * 8
-        if not hdr_ok[i]:
-            bit_errors += int(plen[i]) * 8
-            frame_errors += 1
-            continue
         e = int(np.unpackbits(got[i, : plen[i]] ^ payload[i, : plen[i]]).sum())
         bit_errors += e
-        if e:
+        if e or not hdr_ok[i]:
             frame_errors += 1
-    # per-carrier Es/N0: sample SNR + 10log10(64/52)
-    es_n0 = snr_db + 10 * np.log10(64 / 52)
+    ber = bit_errors / bits_total
+    th = theory_ber(cnst_id, es_n0)
     return {
         "cnst": cnst_id,
         "snr_db": snr_db,
         "es_n0_db": round(float(es_n0), 2),
-        "ber": bit_errors / bits_total,
+        "ber": ber,
         "fer": frame_errors / B,
-        "theory_ber": theory_ber(cnst_id, es_n0),
+        "hdr_ok_rate": float(hdr_ok.sum()) / B,
+        "theory_ber": th,
+        "loss_db": (round(implementation_loss_db(cnst_id, es_n0, ber), 3)
+                    if bit_errors >= 10 else None),
+        "bits": bits_total,
         "fec": bool(use_fec),
     }
 
@@ -121,6 +159,7 @@ def main():
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--frame-length", type=int, default=10)
     p.add_argument("--cnsts", default="1,2,3,4")
+    p.add_argument("--eq-passes", type=int, default=None)
     p.add_argument("--fec-alist", default=None,
                    help="alist path: run the LDPC transport-block path")
     p.add_argument("--json", default=None)
@@ -136,11 +175,12 @@ def main():
         for s in (float(x) for x in args.snrs.split(",")):
             r = run_point(c, s, args.frames, seed=int(10 * s) + c,
                           frame_length=args.frame_length,
-                          fec_alist=args.fec_alist)
+                          fec_alist=args.fec_alist, eq_passes=args.eq_passes)
             rows.append(r)
+            loss = f"{r['loss_db']:+.2f} dB" if r["loss_db"] is not None else "  --  "
             print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "
-                  f"BER={r['ber']:.2e} (theory {r['theory_ber']:.2e})  "
-                  f"FER={r['fer']:.2f}", flush=True)
+                  f"BER={r['ber']:.2e} (theory {r['theory_ber']:.2e}, "
+                  f"loss {loss})  FER={r['fer']:.2f}", flush=True)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
