@@ -42,7 +42,8 @@ import numpy as np
 from gr_dtl_tpu.ops import constellation as cn
 from gr_dtl_tpu.ops import gf2, ldpc, repack
 
-__all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut"]
+__all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut",
+           "TbRing", "init_tb_state", "tb_reassemble", "decode_emitted"]
 
 CRC_LEN_BITS = 32
 
@@ -135,6 +136,124 @@ def build_fec(cfg, H, tb_frames: int = 1):
             gf2.CRC32_FRAME, max_payload_bytes + CRC_LEN_BITS // 8
         ),
     }
+
+
+class TbRing(NamedTuple):
+    """In-progress transport-block buffer for streaming reassembly —
+    the reference tb_decoder's RCV_BUF state (``tb_decoder.cc:26-66``)
+    as a scan carry: one TB under assembly, keyed by the header's
+    ``tb_no``, slots addressed by the header's ``tb_offset``."""
+
+    tb_no: jax.Array  # int32 scalar, -1 = nothing buffered yet
+    llrs: jax.Array  # [W, max_frame_bits] float32 per-slot LLRs
+    present: jax.Array  # [W] bool slot-received mask
+    cnst: jax.Array  # int32 TB constellation
+    plen: jax.Array  # int32 TB payload bits (header fec_tb_payload)
+    fec_id: jax.Array  # int32 1-based LDPC code id
+
+
+def init_tb_state(fec) -> TbRing:
+    W, maxF = fec["W"], fec["max_frame_bits"]
+    return TbRing(
+        tb_no=jnp.asarray(-1, jnp.int32),
+        llrs=jnp.zeros((W, maxF), jnp.float32),
+        present=jnp.zeros((W,), bool),
+        cnst=jnp.asarray(1, jnp.int32),
+        plen=jnp.asarray(0, jnp.int32),
+        fec_id=jnp.asarray(1, jnp.int32),
+    )
+
+
+def tb_reassemble(state: TbRing, llrs: jax.Array, tb_no: jax.Array,
+                  tb_offset: jax.Array, cnst_id: jax.Array,
+                  tb_payload: jax.Array, fec_id: jax.Array,
+                  ok: jax.Array, fec):
+    """Loss-resilient streaming TB reassembly keyed by the header fields.
+
+    The reference's ``tb_decoder::process_frame`` accumulates frames
+    into a TB buffer keyed by ``tb_no`` and re-anchors on the tag's
+    offset after a lost frame (``tb_decoder.cc:90-138``).  Here the same
+    re-anchoring runs as a ``lax.scan`` over a batch of received frames
+    in stream order: every header-valid frame writes its LLRs into the
+    slot ``tb_offset // frame_bits`` of the buffer for its ``tb_no``; a
+    frame announcing a NEW tb_no emits the previous buffer (slots never
+    received stay at LLR 0 = erasure, which BP can often still decode —
+    the reference simply drops incomplete TBs).  Header-invalid frames
+    change nothing, so a lost/corrupted frame only erases its own slot
+    and every later TB stays aligned.
+
+    Args:
+      state: TbRing carry from the previous batch.
+      llrs:  [F, max_frame_bits] per-frame LLR streams in stream order.
+      tb_no/tb_offset/cnst_id/tb_payload/fec_id: [F] header fields.
+      ok:    [F] bool — header CRC ok (gates everything).
+    Returns (state', emitted) with emitted a dict of [F]-leading arrays:
+      llrs [F, W, maxF], cnst/plen/fec_id/tb_no [F], valid [F] (True
+      where a finished TB was emitted at this scan position).
+    """
+    W = fec["W"]
+    fb_tab = jnp.asarray(fec["frame_bits_tab"])
+    bps_tab = jnp.asarray(cn.BITS_PER_SYMBOL)
+
+    def step(st: TbRing, x):
+        llr_i, tb_i, off_i, cn_i, pl_i, fid_i, ok_i = x
+        is_new = ok_i & (tb_i != st.tb_no)
+        emit = is_new & (st.tb_no >= 0)
+        emitted = (st.llrs, st.cnst, st.plen, st.fec_id, st.tb_no, emit)
+        # start a fresh buffer on a new tb_no (erase stale slots)
+        buf = jnp.where(is_new, 0.0, st.llrs)
+        pres = jnp.where(is_new, False, st.present)
+        tbno = jnp.where(is_new, tb_i, st.tb_no)
+        cnst = jnp.where(is_new, cn_i, st.cnst)
+        plen = jnp.where(is_new, pl_i, st.plen)
+        fid = jnp.where(is_new, fid_i, st.fec_id)
+        # slot from the announced offset (ref tb_decoder.cc:110-133);
+        # W == 1 uses the offset==frame_bits sentinel (ref :79-82)
+        fb = fb_tab[bps_tab[jnp.clip(cn_i, 0, 4)]]
+        slot = jnp.clip(off_i // jnp.maximum(fb, 1), 0, W - 1)
+        slot = jnp.where(W == 1, 0, slot)
+        write = ok_i & (tb_i == tbno)
+        buf = buf.at[slot].set(jnp.where(write, llr_i, buf[slot]))
+        pres = pres.at[slot].set(write | pres[slot])
+        return TbRing(tbno, buf, pres, cnst, plen, fid), emitted
+
+    state, (e_llrs, e_cnst, e_plen, e_fid, e_tbno, e_valid) = jax.lax.scan(
+        step, state,
+        (llrs, tb_no.astype(jnp.int32), tb_offset.astype(jnp.int32),
+         cnst_id.astype(jnp.int32), tb_payload.astype(jnp.int32),
+         fec_id.astype(jnp.int32), ok),
+    )
+    return state, {"llrs": e_llrs, "cnst": e_cnst, "plen": e_plen,
+                   "fec_id": e_fid, "tb_no": e_tbno, "valid": e_valid}
+
+
+def decode_emitted(fec, emitted) -> FecFrameOut:
+    """Decode reassembled TB buffers from :func:`tb_reassemble`.
+
+    Rows where ``emitted['valid']`` is False are decoded as dummies and
+    must be masked by the caller.  Returns TB-level outputs (one row per
+    emitted slot, NOT per frame).
+    """
+    F, W, maxF = emitted["llrs"].shape
+    llrs = emitted["llrs"].reshape(F * W, maxF)
+    rep = lambda a: jnp.repeat(jnp.clip(a, 1, None), W)
+    fid = rep(emitted["fec_id"]) if fec.get("n_codes", 1) > 1 else None
+    out = fec_frame_decode(
+        fec, llrs, rep(emitted["cnst"]),
+        jnp.repeat(jnp.maximum(emitted["plen"], CRC_LEN_BITS + 8), W),
+        fec_id=fid,
+    )
+    # fec_frame_decode returns per-frame rows (W per TB, payload on the
+    # first); compact back to one row per TB
+    take = slice(None, None, W)
+    return FecFrameOut(
+        payload=out.payload[take],
+        payload_len=out.payload_len[take],
+        crc_ok=out.crc_ok[take] & emitted["valid"],
+        fec_ok=out.fec_ok[take],
+        avg_iters=out.avg_iters[take],
+        tb_payload_len=out.tb_payload_len[take],
+    )
 
 
 def _gather_slices(rows: jax.Array, starts: jax.Array, length: int) -> jax.Array:

@@ -86,7 +86,8 @@ def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
 
 
 def rx_frames(rxp, frames: jax.Array,
-              fallback_cnst: jax.Array | None = None) -> RxOut:
+              fallback_cnst: jax.Array | None = None,
+              defer_fec: bool = False):
     """Demodulate a batch of frame-aligned sample windows.
 
     Args:
@@ -97,6 +98,13 @@ def rx_frames(rxp, frames: jax.Array,
       fallback_cnst: [B] constellation to assume when the header CRC
               fails (the reference keeps its previous d_constellation,
               packet_header.cc:269-273); defaults to BPSK.
+      defer_fec: FEC configs only — skip the in-graph transport-block
+              decode and return ``(RxOut, fec_in)`` where ``fec_in`` is
+              a dict of per-frame FEC decoder inputs (``llrs`` [B,
+              max_frame_bits], ``tb_no``/``tb_offset``/``tb_payload``/
+              ``fec_id`` [B]) for streaming TB reassembly
+              (fec_chain.tb_reassemble).  RxOut.payload/crc_ok are
+              placeholders in this mode.
     """
     cfg = rxp["cfg"]
     B = frames.shape[0]
@@ -202,6 +210,33 @@ def rx_frames(rxp, frames: jax.Array,
         # header-announced TB payload length, gated on header CRC
         default_P = jnp.asarray(rxp["fec"]["tb_payload_tab"])[bps]
         P = jnp.where(header_ok, fields.tb_payload, default_P)
+        if defer_fec:
+            n_codes = rxp["fec"].get("n_codes", 1)
+            fid = jnp.where(
+                header_ok & (fields.fec_scheme >= 1)
+                & (fields.fec_scheme <= n_codes),
+                fields.fec_scheme, 1)
+            zeros_b = jnp.zeros((B,), jnp.int32)
+            out = RxOut(
+                payload=jnp.zeros(
+                    (B, rxp["fec"]["max_payload_bytes"]), jnp.uint8),
+                payload_len=zeros_b,
+                crc_ok=jnp.zeros((B,), bool),
+                header_ok=header_ok,
+                frame_no=fields.frame_no,
+                cnst_id=cnst,
+                feedback_cnst=fields.feedback_cnst,
+                fec_echo=fields.fec_feedback,
+                snr_db=pay_eq.snr_db,
+                noise_var=pay_eq.noise_var,
+                carr_offset=carr_off,
+                soft_syms=soft,
+                fec_ok=jnp.zeros((B,), bool),
+                avg_iters=jnp.zeros((B,), jnp.float32),
+            )
+            return out, {"llrs": llrs, "tb_no": fields.tb_no,
+                         "tb_offset": fields.tb_offset, "tb_payload": P,
+                         "fec_id": fid}
         if rxp["fec"].get("n_codes", 1) > 1:
             # code-bank FEC: the header's fec_scheme field selects the
             # LDPC code per frame (gated on header CRC; default code 1)

@@ -67,6 +67,17 @@ class StreamRx:
         # end of the previous block + the metric lookahead
         self.tail_len = self.P + cfg.fft_len
         self.rxp = receiver.build_rx(cfg, fec)
+        # multi-frame transport blocks: loss-resilient reassembly keyed
+        # by the header's tb_no/tb_offset (ref tb_decoder.cc:90-138);
+        # :meth:`process` then returns a third element with decoded TBs
+        self.fec = fec
+        self._use_tb = fec is not None and fec["W"] > 1
+        if self._use_tb:
+            from gr_dtl_tpu.models import fec_chain
+
+            self._tb_state = fec_chain.init_tb_state(fec)
+            self._flush_fn = jax.jit(
+                lambda em: fec_chain.decode_emitted(fec, em))
         self._tail = np.zeros(self.tail_len, np.complex64)
         self._lock = streaming.TriggerLockState(
             locked=jnp.asarray(False), expected=jnp.asarray(0),
@@ -85,9 +96,11 @@ class StreamRx:
     def _build_step(self):
         cfg, F, P = self.cfg, self.F, self.P
         rxp = self.rxp
+        use_tb, fec = self._use_tb, self.fec
 
         @jax.jit
-        def step(samples, lock_state, fallback_cnst, expected_no):
+        def step(samples, lock_state, fallback_cnst, expected_no,
+                 tb_state=None):
             """samples: [tail + block] complex64; triggers are owned by
             the tail-start coordinate system (frame k starts in the
             first F periods of `samples`)."""
@@ -103,7 +116,25 @@ class StreamRx:
             eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
             frames = sync.cfo_correct(
                 sync.extract_windows(samples, trig, P), eps, cfg.fft_len)
-            out = receiver.rx_frames(rxp, frames, fallback_cnst=fallback_cnst)
+            tb_out = None
+            if use_tb:
+                from gr_dtl_tpu.models import fec_chain
+
+                out, fec_in = receiver.rx_frames(
+                    rxp, frames, fallback_cnst=fallback_cnst, defer_fec=True)
+                tb_state, emitted = fec_chain.tb_reassemble(
+                    tb_state, fec_in["llrs"], fec_in["tb_no"],
+                    fec_in["tb_offset"], out.cnst_id, fec_in["tb_payload"],
+                    fec_in["fec_id"], out.header_ok & valid, fec)
+                dec = fec_chain.decode_emitted(fec, emitted)
+                tb_out = {"payload": dec.payload,
+                          "payload_len": dec.payload_len,
+                          "crc_ok": dec.crc_ok, "fec_ok": dec.fec_ok,
+                          "tb_no": emitted["tb_no"],
+                          "valid": emitted["valid"]}
+            else:
+                out = receiver.rx_frames(rxp, frames,
+                                         fallback_cnst=fallback_cnst)
             # next fallback: last frame's accepted constellation
             new_fallback = jnp.full((F,), out.cnst_id[-1], jnp.int32)
             # rebase the lock expectation into the next block's coords
@@ -128,24 +159,52 @@ class StreamRx:
             expected_no, losts = jax.lax.scan(
                 acct, expected_no, (out.frame_no, ok))
             return out, valid, lock_state, new_fallback, expected_no, (
-                jnp.sum(losts), jnp.sum(ok))
+                jnp.sum(losts), jnp.sum(ok)), tb_state, tb_out
 
         return step
 
     def process(self, chunk: np.ndarray):
-        """One block of block_samples samples -> (RxOut, valid [F])."""
+        """One block of block_samples samples -> (RxOut, valid [F]);
+        multi-frame-TB FEC sessions return a third element: a dict of
+        [F]-leading arrays for TBs completed within this block
+        (``valid`` marks real emissions)."""
         assert chunk.shape[-1] == self.block_samples, (
             f"feed exactly {self.block_samples} samples per call"
         )
         samples = np.concatenate([self._tail, np.asarray(chunk, np.complex64)])
-        out, valid, self._lock, self._fallback, self._expected_no, acct = (
-            self._step(jnp.asarray(samples), self._lock, self._fallback,
-                       self._expected_no)
-        )
+        tb_state = self._tb_state if self._use_tb else None
+        (out, valid, self._lock, self._fallback, self._expected_no, acct,
+         tb_state, tb_out) = self._step(
+            jnp.asarray(samples), self._lock, self._fallback,
+            self._expected_no, tb_state)
         self._tail = np.asarray(chunk)[-self.tail_len :]
         self.n_lost += int(acct[0])
         self.n_frames += int(acct[0]) + int(acct[1])
+        if self._use_tb:
+            self._tb_state = tb_state
+            return out, np.asarray(valid), tb_out
         return out, np.asarray(valid)
+
+    def flush_tb(self):
+        """Emit the in-progress transport block (end of stream) —
+        the reference decodes its tail buffer when input ends."""
+        if not self._use_tb:
+            return None
+        st = self._tb_state
+        has = bool(st.tb_no >= 0) and bool(jnp.any(st.present))
+        emitted = {
+            "llrs": st.llrs[None], "cnst": st.cnst[None],
+            "plen": st.plen[None], "fec_id": st.fec_id[None],
+            "tb_no": st.tb_no[None],
+            "valid": jnp.asarray([has]),
+        }
+        dec = self._flush_fn(emitted)
+        from gr_dtl_tpu.models import fec_chain
+
+        self._tb_state = fec_chain.init_tb_state(self.fec)
+        return {"payload": dec.payload, "payload_len": dec.payload_len,
+                "crc_ok": dec.crc_ok, "fec_ok": dec.fec_ok,
+                "tb_no": emitted["tb_no"], "valid": emitted["valid"]}
 
     @property
     def lost_frame_rate(self) -> float:

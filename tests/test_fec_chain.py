@@ -2,6 +2,8 @@
 decode; exact recovery for all constellations x 2 codes (mirrors
 qa_ofdm_adaptive_fec.py:71-171)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,8 +14,8 @@ from gr_dtl_tpu.ops import constellation as cn, repack
 from gr_dtl_tpu.models import fec_chain
 
 ALISTS = [
-    "/root/reference/python/dtl/n_0100_k_0027_gap_04.alist",
-    "/root/reference/python/dtl/n_0100_k_0023_gap_10.alist",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0027.alist"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0023.alist"),
 ]
 
 

@@ -2,6 +2,8 @@
 test_003_direct_fec_txrx): TX (coded, long header) -> channel -> RX
 (soft demap + BP) -> exact payload recovery; and FEC-vs-uncoded gain."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,7 +13,7 @@ from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
 from gr_dtl_tpu.ops import channel, constellation as cn
 from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
-ALIST = "/root/reference/python/dtl/n_0100_k_0027_gap_04.alist"
+ALIST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0027.alist")
 
 
 def _setup(frame_length=10):

@@ -2,6 +2,8 @@
 the full OFDM chain (the reference tb_decoder's cross-frame reassembly,
 here as aligned W-frame groups)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,7 +13,7 @@ from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
 from gr_dtl_tpu.ops import channel, constellation as cn
 from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
-ALIST = "/root/reference/python/dtl/n_0100_k_0027_gap_04.alist"
+ALIST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0027.alist")
 
 
 def _group_payload(fec, G, cnst_per_group, rng):

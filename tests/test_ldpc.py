@@ -11,7 +11,7 @@ import pytest
 from gr_dtl_tpu.utils import alist as alist_mod
 from gr_dtl_tpu.ops import ldpc
 
-REF_ALIST = "/root/reference/python/dtl/n_0100_k_0027_gap_04.alist"
+REF_ALIST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0027.alist")
 
 
 def _load_code():

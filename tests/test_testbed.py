@@ -1,6 +1,7 @@
 """Telemetry build->probe->parse loop (mirrors qa_monitor_proto.cc:32-86
 with a capture-mode probe as the fake sender) and frame-store/BER tools."""
 
+import os
 import subprocess
 import sys
 
@@ -115,7 +116,7 @@ def test_eq_dec_messages_from_rxout():
     from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
     from gr_dtl_tpu.models import fec_chain
     cfg = cfgmod.make_tx_config(None, frame_length=10, fec=True)
-    H = alist_mod.load_alist("/root/reference/python/dtl/n_0100_k_0027_gap_04.alist")
+    H = alist_mod.load_alist(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "n_0100_k_0027.alist"))
     fec = fec_chain.build_fec(cfg, H)
     dmsgs = monitor.dec_messages(FakeRx(), fec, crc_ok_count=5, crc_fail_count=1)
     assert dmsgs[0].tb_code_n == 100 and dmsgs[0].tb_code_k == 27
