@@ -554,7 +554,12 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
         code_idx = jnp.repeat(fec_id, Cmax)
-        bits, iters, ok = ldpc.decode_bank(
+        # small banks take the dense matmul-form decoder (MXU-resident;
+        # n_codes x redundant FLOPs beat the gather walks), big banks
+        # the gather form — see ops/ldpc.decode_bank_mm
+        dec = (ldpc.decode_bank_mm if bank["n_codes"] <= 4
+               else ldpc.decode_bank)
+        bits, iters, ok = dec(
             cw_llrs.reshape(-1, Nmax).astype(jnp.float32), code_idx, bank,
             max_iters=15)
         bits = bits.reshape(G, Cmax, Nmax)

@@ -37,7 +37,7 @@ import numpy as np
 from gr_dtl_tpu.ops import gf2
 
 __all__ = ["build_ldpc", "encode", "decode", "decode_mm", "SHORTENED_LLR",
-           "build_ldpc_bank", "encode_bank", "decode_bank"]
+           "build_ldpc_bank", "encode_bank", "decode_bank", "decode_bank_mm"]
 
 SHORTENED_LLR = 15.0
 
@@ -349,13 +349,33 @@ def build_ldpc_bank(Hs: list[np.ndarray]):
         chk_adj[1], var_edges[1], rev[1], A[1])
     n_tab[0], k_tab[0], m_tab[0] = n_tab[1], k_tab[1], m_tab[1]
 
+    # per-code incidence matrices in the PADDED coordinate system, for
+    # the matmul-form bank decoder (decode_bank_mm): code c's Ht remapped
+    # so tx position j lands at padded slot (j if j < M_c else
+    # Mmax + j - M_c); variables outside c's graph are edge-free (their
+    # hard decision falls back to the channel LLR, which is pinned).
+    mm = [None]
+    for ci, code in enumerate(codes, start=1):
+        M, K = code["M"], code["K"]
+        Ht_pad = np.zeros((Mmax, Nmax), np.uint8)
+        j = np.arange(code["N"])
+        pj = np.where(j < M, j, Mmax + (j - M))
+        Ht_pad[:M, pj] = code["Ht"]
+        e_chk, e_var = np.nonzero(Ht_pad)
+        E = e_chk.size
+        Vm = np.zeros((Nmax, E), np.float32)
+        Cm = np.zeros((Mmax, E), np.float32)
+        Vm[e_var, np.arange(E)] = 1.0
+        Cm[e_chk, np.arange(E)] = 1.0
+        mm.append({"Vmat": Vm, "Cmat": Cm, "Ht": Ht_pad, "E": E})
+
     return {
         "n_codes": C, "Mmax": Mmax, "Kmax": Kmax, "Nmax": Nmax,
         "chk_adj": chk_adj, "chk_mask": chk_adj >= 0,
         "var_edges": var_edges, "var_mask": var_edges[..., 0] >= 0,
         "rev": rev, "A": A,
         "n_tab": n_tab, "k_tab": k_tab, "m_tab": m_tab,
-        "codes": codes,
+        "codes": codes, "mm": mm,
     }
 
 
@@ -367,6 +387,35 @@ def encode_bank(msg_bits: jax.Array, code_idx: jax.Array, bank) -> jax.Array:
     parity = (jnp.einsum("bk,bmk->bm", msg_bits.astype(jnp.float32), A)
               .astype(jnp.int32) % 2)
     return jnp.concatenate([parity, msg_bits.astype(jnp.int32)], axis=-1)
+
+
+def decode_bank_mm(llr: jax.Array, code_idx: jax.Array, bank,
+                   max_iters: int = 15):
+    """Matmul-form BP over the code bank (MXU path for multi-code FEC).
+
+    Same contract as :func:`decode_bank`, different schedule: each
+    code's dense incidence-matrix decode (:func:`decode_mm`) runs over
+    the FULL batch with compile-time-constant matrices, and per-codeword
+    outputs are selected by code id afterwards.  That spends
+    ``n_codes x`` the single-code FLOPs, but every iteration is four
+    [B,E]-by-[E,N]-class matmuls on the systolic array with zero
+    per-codeword index walks — for small banks (the reference ships 1-3
+    alists; ldpc_enc.cc:21-30) this decisively beats the gather-form
+    :func:`decode_bank`, whose per-batch adjacency gathers
+    (``c2v[b_ix, ve_chk, ve_slot]``) dominate its runtime.  Use
+    :func:`decode_bank` instead when the bank is large.
+    """
+    C = bank["n_codes"]
+    outs = [decode_mm(llr, bank["mm"][ci], max_iters)
+            for ci in range(1, C + 1)]
+    if C == 1:
+        return outs[0]
+    sel = (jnp.clip(code_idx, 1, C) - 1).astype(jnp.int32)
+    hard = jnp.stack([o[0] for o in outs], axis=1)  # [B, C, Nmax]
+    its = jnp.stack([o[1] for o in outs], axis=1)  # [B, C]
+    oks = jnp.stack([o[2] for o in outs], axis=1)
+    b = jnp.arange(llr.shape[0])
+    return hard[b, sel], its[b, sel], oks[b, sel]
 
 
 def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,

@@ -158,3 +158,41 @@ def test_mixed_code_noisy_decode():
     pay = np.asarray(out.payload)
     for i in range(B):
         np.testing.assert_array_equal(pay[i, : ub[i]], payload[i, : ub[i]])
+
+
+def test_decode_bank_mm_matches_gather_form():
+    """The dense matmul-form bank decoder must agree with the gather
+    form on hard bits, convergence, and iteration counts."""
+    from gr_dtl_tpu.ops import ldpc
+
+    Hs = [np.asarray(_load("n_0100_k_0027.alist")),
+          np.asarray(_load("n_0300_k_0152.alist"))]
+    bank = ldpc.build_ldpc_bank(Hs)
+    rng = np.random.RandomState(5)
+    B = 32
+    code_idx = rng.randint(1, 3, B).astype(np.int32)
+    Kmax, Nmax, Mmax = bank["Kmax"], bank["Nmax"], bank["Mmax"]
+    msgs = np.zeros((B, Kmax), np.float32)
+    for i in range(B):
+        k = int(bank["k_tab"][code_idx[i]])
+        msgs[i, :k] = rng.randint(0, 2, k)
+    cws = np.asarray(ldpc.encode_bank(jnp.asarray(msgs),
+                                      jnp.asarray(code_idx), bank))
+    llr = (1.0 - 2.0 * cws.astype(np.float32)) * 3.0
+    llr += rng.randn(B, Nmax).astype(np.float32) * 0.9
+    # pin slots outside each code's graph like the decode path does
+    for i in range(B):
+        m = int(bank["m_tab"][code_idx[i]])
+        k = int(bank["k_tab"][code_idx[i]])
+        llr[i, m:Mmax] = ldpc.SHORTENED_LLR
+        llr[i, Mmax + k:] = ldpc.SHORTENED_LLR
+    h_g, it_g, ok_g = ldpc.decode_bank(jnp.asarray(llr),
+                                       jnp.asarray(code_idx), bank, 15)
+    h_m, it_m, ok_m = ldpc.decode_bank_mm(jnp.asarray(llr),
+                                          jnp.asarray(code_idx), bank, 15)
+    assert np.asarray(ok_g).mean() > 0.8  # the point must be decodable
+    np.testing.assert_array_equal(np.asarray(ok_g), np.asarray(ok_m))
+    np.testing.assert_array_equal(np.asarray(it_g), np.asarray(it_m))
+    # hard bits must agree wherever BP converged
+    conv = np.asarray(ok_g)
+    np.testing.assert_array_equal(np.asarray(h_g)[conv], np.asarray(h_m)[conv])

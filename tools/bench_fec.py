@@ -37,7 +37,7 @@ def main():
     from gr_dtl_tpu.ops import channel, constellation as cn, ldpc
     from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_path = os.path.join(here, "examples", "config_fec.json")
     cfg = cfgmod.make_tx_config(cfg_path, frame_length=20)
