@@ -42,10 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gr_dtl_tpu.ops import constellation as cn, metrics, sync
+from gr_dtl_tpu.ops import burst, constellation as cn, metrics, sync
 from gr_dtl_tpu.models import adaptive, receiver, streaming, transmitter
 
-__all__ = ["StreamRx", "StreamTx", "StreamDuplex"]
+__all__ = ["StreamRx", "StreamTx", "StreamDuplex", "StreamBurstRx",
+           "StreamSimplex"]
 
 
 class StreamRx:
@@ -335,6 +336,122 @@ class StreamTx:
             "l_total": np.asarray(out.l_total),
         }
         return np.asarray(out.samples).reshape(-1), info
+
+
+class StreamBurstRx:
+    """Continuous reverse-channel scanner: feed me sample chunks of the
+    reverse capture, I emit every feedback burst found (0..max_bursts
+    per block), each exactly once.
+
+    The streaming counterpart of the reference's always-on feedback
+    listener (``corr_est_cc`` + sliding access-code parser,
+    ``ofdm_adaptive_tx.py:44-60``, ``feedback_format.cc:119-146``) —
+    see ops/burst.build_stream_burst_rx for the scan design.
+    """
+
+    def __init__(self, block_samples: int, modem=None, max_bursts: int = 4,
+                 threshold: float = 0.5):
+        self.modem = modem if modem is not None else burst.build_burst_modem()
+        fn, self.tail_len = burst.build_stream_burst_rx(
+            self.modem, block_samples, max_bursts, threshold)
+        self.block_samples = block_samples
+        self._step = jax.jit(fn)
+        self._tail = np.zeros(self.tail_len, np.complex64)
+
+    def process(self, chunk: np.ndarray) -> burst.BurstRxOut:
+        assert chunk.shape[-1] == self.block_samples, (
+            f"feed exactly {self.block_samples} samples per call")
+        ext = np.concatenate([self._tail, np.asarray(chunk, np.complex64)])
+        out = self._step(jnp.asarray(ext))
+        self._tail = np.asarray(chunk)[-self.tail_len:]
+        return out
+
+
+class StreamSimplex:
+    """Always-on simplex modem pair over user-supplied channels.
+
+    The streaming counterpart of models/simplex.py's in-graph session
+    (ref ``ofdm_adaptive_tx``/``ofdm_adaptive_rx``, SURVEY.md #41/#42):
+    node A streams OFDM frames forward and scans a continuous reverse
+    capture for feedback bursts; node B demodulates frames, runs the
+    MCS decision on its SNR estimates and transmits the decision as a
+    burst at a random (jittered) position inside its reverse block.
+    Burst loss, jitter, and noise are whatever ``channel_rev`` injects —
+    the adaptation loop must survive them (the reference's burst path
+    is equally lossy; TX simply keeps its MCS until a burst decodes).
+
+    Args:
+      channel_fwd/channel_rev: callables samples -> samples.
+      rev_block: reverse-capture samples per step (one scan block).
+    """
+
+    def __init__(self, txcfg, rxcfg, channel_fwd, channel_rev,
+                 frames_per_block: int = 8, rev_block: int = 4096,
+                 seed: int = 0):
+        self.tx = StreamTx(txcfg, frames_per_block)
+        self.rx = StreamRx(rxcfg, frames_per_block)
+        self.brx = StreamBurstRx(rev_block)
+        self.modem = self.brx.modem
+        self.chan_fwd = channel_fwd
+        self.chan_rev = channel_rev
+        self.rev_block = rev_block
+        self._rng = np.random.RandomState(seed)
+        self.tables = adaptive.build_mcs_tables(rxcfg)
+        self._fb = adaptive.initial_state(rxcfg.initial_mcs_id)
+        self._cnst_of_mcs = np.asarray(self.tables["cnst"])
+        self._fec_of_mcs = np.asarray(self.tables["fec"])
+        tables = self.tables
+
+        @jax.jit
+        def fb_scan(state, snrs, mask):
+            def stepf(s, x):
+                snr, m = x
+                ns, mcs = adaptive.feedback_step(s, snr, tables)
+                ns = jax.tree.map(lambda a, b: jnp.where(m, a, b), ns, s)
+                return ns, jnp.where(m, mcs, s.last)
+
+            return jax.lax.scan(stepf, state, (snrs, mask))
+
+        self._fb_scan = fb_scan
+        self._burst_fn = jax.jit(
+            lambda c, f: burst.burst_tx(c, f, self.modem, pad=0))
+        self._burst_len = burst.burst_wave_len(self.modem)
+
+    def step(self):
+        """One forward block + one reverse block; returns telemetry or
+        None when the TX queue and empty budget are exhausted."""
+        blk = self.tx.next_block()
+        if blk is None:
+            return None
+        samples, _info = blk
+        out, valid = self.rx.process(np.asarray(self.chan_fwd(samples)))
+        ok = np.asarray(out.header_ok) & valid
+
+        # RX node: decision on decoded frames -> feedback burst
+        rev = np.zeros(self.rev_block, np.complex64)
+        want = None
+        if ok.any():
+            self._fb, mcs_seq = self._fb_scan(
+                self._fb, out.snr_db, jnp.asarray(ok))
+            mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
+            want = (int(self._cnst_of_mcs[mcs]), int(self._fec_of_mcs[mcs]))
+            wave = np.asarray(self._burst_fn(
+                jnp.asarray([want[0]], jnp.int32),
+                jnp.asarray([want[1]], jnp.int32)))[0]
+            off = self._rng.randint(0, self.rev_block - len(wave))
+            rev[off: off + len(wave)] = wave
+
+        # TX node: scan the (lossy) reverse capture, apply the last
+        # decodable burst (ref framer.process_feedback:88-109)
+        bout = self.brx.process(np.asarray(self.chan_rev(rev)))
+        okb = np.asarray(bout.ok)
+        applied = None
+        if okb.any():
+            i = int(np.nonzero(okb)[0][-1])
+            applied = int(np.asarray(bout.cnst_id)[i])
+            self.tx.set_feedback(applied)
+        return {"rx": out, "ok": ok, "want": want, "applied": applied,
+                "n_bursts": int(okb.sum())}
 
 
 class StreamDuplex:

@@ -46,7 +46,8 @@ import numpy as np
 from gr_dtl_tpu.ops import gf2
 
 __all__ = ["ACCESS_CODE_BITS", "rrc_taps", "build_burst_modem",
-           "burst_tx", "burst_rx", "BurstRxOut"]
+           "burst_tx", "burst_rx", "BurstRxOut", "burst_wave_len",
+           "build_stream_burst_rx"]
 
 # GNU Radio default access code, 64 bits MSB-first
 _ACCESS_BYTES = bytes([0xAC, 0xDD, 0xA4, 0xE2, 0xF2, 0x8C, 0x20, 0xFC])
@@ -139,6 +140,82 @@ def burst_tx(cnst_id: jax.Array, fec_id: jax.Array, modem,
     wave = shaped.astype(jnp.complex64)
     z = jnp.zeros((B, pad), jnp.complex64)
     return jnp.concatenate([z, wave, z], axis=1)
+
+
+def burst_wave_len(modem) -> int:
+    """Length of one shaped burst waveform (no padding)."""
+    return N_BURST_BITS * modem["sps"] + modem["ntaps"] - 1
+
+
+def build_stream_burst_rx(modem, block: int, max_bursts: int = 4,
+                          threshold: float = 0.5):
+    """Continuous-capture burst scanner: 0..max_bursts per block.
+
+    The reference's feedback parser scans an endless sample stream with
+    a sliding access-code correlator
+    (``ofdm_adaptive_feedback_format.cc:119-146``, fed by ``corr_est_cc``
+    in ``ofdm_adaptive_tx.py:44-60``).  Here the scan is one fused
+    batch graph per block:
+
+    1. normalized preamble cross-correlation over [tail | block],
+    2. non-max suppression (a start wins if it is the correlation max
+       within a burst-length window) + threshold -> candidate starts,
+    3. ownership: only starts inside the first ``block`` coordinates
+       are emitted now (later ones reappear at the front of the next
+       block's extended window — same tail discipline as the OFDM
+       StreamRx), so every burst is demodulated exactly once,
+    4. ``top_k`` candidates -> windows sliced out and demodulated by
+       the one-shot estimator (:func:`burst_rx`) in one vmapped batch.
+
+    Returns ``(step, tail_len)`` where ``step(ext) -> BurstRxOut`` with
+    [max_bursts] leading dims and ``ext = concat(tail, chunk)``,
+    ``tail = previous chunk's last tail_len samples``.  Slots beyond the
+    number of detected bursts have ``ok=False``.
+    """
+    Lb = burst_wave_len(modem)
+    pre = jnp.asarray(modem["preamble_wave"])
+    Lp = pre.shape[0]
+    tail_len = Lb  # any burst starting in the owned region completes
+    win = Lb + 8  # demod window per candidate
+
+    pre_conj_rev = jnp.conj(pre[::-1])
+    e_pre = jnp.sum(jnp.abs(pre) ** 2)
+
+    def step(ext: jax.Array) -> BurstRxOut:
+        T = ext.shape[-1]  # tail_len + block
+        corr = jnp.convolve(ext, pre_conj_rev, mode="full")
+        # correlation aligned so index s = burst start in ext coords
+        c = corr[Lp - 1 : Lp - 1 + T]
+        # normalized by local energy under the preamble: moving sum
+        p2 = jnp.abs(ext) ** 2
+        cs = jnp.concatenate([jnp.zeros(1), jnp.cumsum(p2)])
+        e_loc = cs[jnp.minimum(jnp.arange(T) + Lp, T)] - cs[: T]
+        norm = jnp.abs(c) / jnp.sqrt(jnp.maximum(e_loc * e_pre, 1e-12))
+        # non-max suppression over a burst-length window
+        mag = jnp.abs(c)
+        wmax = jax.lax.reduce_window(
+            mag, -jnp.inf, jax.lax.max, (Lb,), (1,), "SAME")
+        owned = jnp.arange(T) < block  # ownership region (see docstring)
+        cand = (norm > threshold) & (mag >= wmax) & owned
+        score = jnp.where(cand, mag, -1.0)
+        top, starts = jax.lax.top_k(score, max_bursts)
+        found = top > 0
+
+        def demod_one(s):
+            s = jnp.clip(s, 0, T - win)
+            return jax.lax.dynamic_slice(ext, (s,), (win,))
+
+        wins = jax.vmap(demod_one)(starts)  # [K, win]
+        out = burst_rx(wins, modem)
+        return BurstRxOut(
+            cnst_id=out.cnst_id,
+            fec_id=out.fec_id,
+            ok=out.ok & found,
+            peak_pos=starts.astype(jnp.int32),
+            cfo=out.cfo,
+        )
+
+    return step, tail_len
 
 
 def burst_rx(samples: jax.Array, modem) -> BurstRxOut:
