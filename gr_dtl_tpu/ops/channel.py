@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["awgn", "apply_cfo", "fir_channel", "channel_model",
-           "selective_fading"]
+           "selective_fading", "sample_clock_offset"]
 
 
 def awgn(key: jax.Array, x: jax.Array, noise_voltage: float | jax.Array) -> jax.Array:
@@ -55,6 +55,38 @@ def channel_model(key: jax.Array, x: jax.Array, *, noise_voltage=0.0,
     y = fir_channel(x, jnp.asarray(taps, jnp.complex64))
     y = apply_cfo(y, freq_offset, fft_len)
     return awgn(key, y, noise_voltage)
+
+
+def sample_clock_offset(x: jax.Array, ppm: float) -> jax.Array:
+    """Sample-frequency offset (SFO): resample by ``1 + ppm * 1e-6``.
+
+    Models TX/RX sample-clock mismatch — the impairment the reference's
+    trigger-repair block exists to absorb
+    (``ofdm_adaptive_frame_detect_bb_impl.cc:64-173``: accumulated ±1
+    trigger drift detection/correction).  Output sample ``n`` reads the
+    input at position ``n * (1 + ppm*1e-6)`` via Catmull-Rom cubic
+    interpolation (accurate to ~-45 dB for this 52/64-occupied OFDM
+    signal; plenty below the test SNRs).  The fractional drift
+    ``n * delta`` is computed separately from the integer ramp so f32
+    keeps sub-sample precision over multi-second captures.
+    """
+    N = x.shape[-1]
+    delta = float(ppm) * 1e-6
+    n = jnp.arange(N, dtype=jnp.int32)
+    d = n.astype(jnp.float32) * jnp.float32(delta)
+    di = jnp.floor(d).astype(jnp.int32)
+    mu = d - di.astype(jnp.float32)  # fractional part, [0, 1)
+    idx = n + di
+
+    def at(k):
+        return x[..., jnp.clip(idx + k, 0, N - 1)]
+
+    xm1, x0, x1, x2 = at(-1), at(0), at(1), at(2)
+    mu = mu.astype(x.real.dtype)
+    a = (-xm1 + 3 * x0 - 3 * x1 + x2) * 0.5
+    b = xm1 - 2.5 * x0 + 2 * x1 - 0.5 * x2
+    c = (x1 - xm1) * 0.5
+    return ((a * mu + b) * mu + c) * mu + x0
 
 
 def selective_fading(key: jax.Array, x: jax.Array, *,

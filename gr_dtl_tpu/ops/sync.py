@@ -18,7 +18,10 @@ Frame timing geometry: sync word 1 occupies even carriers only, so its
 prefix (last 16 samples of the symbol) the period-32 repetition spans
 samples [frame_start, frame_start+80) and the metric
 
-    P(d) = sum_{m<32} conj(r[d+m]) r[d+m+32],   M(d) = |P|^2 / R(d)^2
+    P(d) = sum_{m<32} conj(r[d+m]) r[d+m+32],   M(d) = |P|^2 / (R1 R2)
+
+(R1/R2 = first/second half-window energies; Cauchy-Schwarz keeps
+M <= 1 even on idle air and signal edges)
 
 has a plateau for d in [frame_start, frame_start+cp_len].  The fine
 (fractional-carrier) CFO is angle(P)/pi in subcarrier units.
@@ -116,11 +119,19 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     half = fft_len // 2
     lagged = jnp.conj(r[..., :-half]) * r[..., half:]  # [N-half]
     P = _moving_sum(lagged, half)  # [N-2*half+1]
-    energy = jnp.abs(r[..., half:]) ** 2
-    R = _moving_sum(energy, half)  # [N-2*half+1]
+    e2 = jnp.abs(r[..., half:]) ** 2
+    R2 = _moving_sum(e2, half)  # [N-2*half+1]
+    e1 = jnp.abs(r[..., :-half]) ** 2
+    R1 = _moving_sum(e1, half)[..., : R2.shape[-1]]
     P = P[..., : r.shape[-1] - fft_len]
-    R = R[..., : r.shape[-1] - fft_len]
-    M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
+    R1 = R1[..., : r.shape[-1] - fft_len]
+    R2 = R2[..., : r.shape[-1] - fft_len]
+    # normalize by BOTH half energies: Cauchy-Schwarz gives
+    # |P|^2 <= R1*R2, so M <= 1 everywhere — including signal->silence
+    # falling edges, where the one-sided |P|^2/R2^2 form explodes
+    # (signal-x-noise numerator over a noise-only denominator) and
+    # corrupts the fold vote on idle air
+    M = jnp.abs(P) ** 2 / jnp.maximum(R1 * R2, 1e-12)
     return P, M
 
 

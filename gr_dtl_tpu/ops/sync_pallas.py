@@ -72,14 +72,15 @@ def _metric_kernel(re_ref, im_ref, re_halo_ref, im_halo_ref,
                          pltpu.roll(x_n, _LANES - _HALF, axis=1))
 
     def products(x_r, x_i, s_r, s_i):
-        # c = conj(r) * r_shift32 ; e = |r_shift32|^2
+        # c = conj(r) * r_shift32 ; e2 = |r_shift32|^2 ; e1 = |r|^2
         return (x_r * s_r + x_i * s_i,
                 x_r * s_i - x_i * s_r,
-                s_r * s_r + s_i * s_i)
+                s_r * s_r + s_i * s_i,
+                x_r * x_r + x_i * x_i)
 
     sr = shift32(xr, xr_n)
     si = shift32(xi, xi_n)
-    c_re, c_im, e = products(xr, xi, sr, si)
+    c_re, c_im, e2, e1 = products(xr, xi, sr, si)
     # next-row copies of the products (the 32-wide window spills up to
     # 31 flat positions into the next row).  The window sum only reads
     # next-row lanes <= 30, which shift32 serves from the *same* row
@@ -87,7 +88,7 @@ def _metric_kernel(re_ref, im_ref, re_halo_ref, im_halo_ref,
     # safe: the contaminated high lanes are never used.
     sr_n = shift32(xr_n, xr_n)
     si_n = shift32(xi_n, xi_n)
-    c_re_n, c_im_n, e_n = products(xr_n, xi_n, sr_n, si_n)
+    c_re_n, c_im_n, e2_n, e1_n = products(xr_n, xi_n, sr_n, si_n)
 
     def msum(v, v_n):
         """32-wide sliding window sum over the flat stream by
@@ -109,8 +110,11 @@ def _metric_kernel(re_ref, im_ref, re_halo_ref, im_halo_ref,
 
     P_re = msum(c_re, c_re_n)
     P_im = msum(c_im, c_im_n)
-    R = msum(e, e_n)
-    M = (P_re * P_re + P_im * P_im) / jnp.maximum(R * R, 1e-12)
+    R2 = msum(e2, e2_n)
+    R1 = msum(e1, e1_n)
+    # two-sided normalization (Cauchy-Schwarz: M <= 1 even at
+    # signal->silence edges) — must match ops/sync.timing_metric
+    M = (P_re * P_re + P_im * P_im) / jnp.maximum(R1 * R2, 1e-12)
 
     p_re_ref[:, :] = P_re
     p_im_ref[:, :] = P_im
