@@ -117,15 +117,15 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
 
             return sync_pallas.timing_metric_pallas(r, fft_len)
     half = fft_len // 2
+    out = r.shape[-1] - fft_len
     lagged = jnp.conj(r[..., :-half]) * r[..., half:]  # [N-half]
-    P = _moving_sum(lagged, half)  # [N-2*half+1]
-    e2 = jnp.abs(r[..., half:]) ** 2
-    R2 = _moving_sum(e2, half)  # [N-2*half+1]
-    e1 = jnp.abs(r[..., :-half]) ** 2
-    R1 = _moving_sum(e1, half)[..., : R2.shape[-1]]
-    P = P[..., : r.shape[-1] - fft_len]
-    R1 = R1[..., : r.shape[-1] - fft_len]
-    R2 = R2[..., : r.shape[-1] - fft_len]
+    P = _moving_sum(lagged, half)[..., :out]
+    # windowed energy E(d) = sum_{m<32} |r[d+m]|^2; the two half-window
+    # energies are shifted views of it (R1(d) = E(d), R2(d) = E(d+32)),
+    # so one moving sum serves both
+    E = _moving_sum(jnp.abs(r) ** 2, half)
+    R1 = E[..., :out]
+    R2 = E[..., half : half + out]
     # normalize by BOTH half energies: Cauchy-Schwarz gives
     # |P|^2 <= R1*R2, so M <= 1 everywhere — including signal->silence
     # falling edges, where the one-sided |P|^2/R2^2 form explodes
