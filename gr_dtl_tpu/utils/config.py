@@ -117,10 +117,13 @@ class OFDMConfig:
     initial_mcs_id: int = 0
     # channel-tracking EMA: new taps = eq_alpha*old + (1-eq_alpha)*new.
     # The reference hardcodes 0.1 (ofdm_receiver.py:115), i.e. 90%
-    # weight on the *noisy instantaneous* estimate — measured ~2-3 dB
-    # implementation loss on static channels.  0.8 tracks slower but
-    # beats the reference's BER by >1 order of magnitude at 18 dB 8PSK;
-    # set 0.1 to reproduce reference behavior exactly.
+    # weight on the *noisy instantaneous* estimate.  Measured ablation
+    # (examples/eq_alpha_ablation.json, regenerate with
+    # tools/ber_curve.py --eq-alpha): on static AWGN, 0.1 costs 3.2-6.9
+    # dB of implementation loss at 1 pass and up to 2.4 dB even with
+    # the 2-pass refinement (8PSK @ 18 dB), while 0.8 sits within
+    # 0.2 dB of theory everywhere.  Set 0.1 to reproduce reference
+    # behavior exactly (tests/test_ber_parity.py exercises that mode).
     eq_alpha: float = 0.8
     # equalization passes: 2 adds a data-aided refinement pass — taps
     # are re-estimated by LS over ALL frame symbols (sync words + pass-1

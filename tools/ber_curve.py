@@ -80,7 +80,7 @@ def implementation_loss_db(cnst_id: int, es_n0_db: float, measured: float) -> fl
 
 
 def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
-              eq_passes=None):
+              eq_passes=None, eq_alpha=None):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +89,11 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
     from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
     use_fec = fec_alist is not None
-    kw = {} if eq_passes is None else {"eq_passes": eq_passes}
+    kw = {}
+    if eq_passes is not None:
+        kw["eq_passes"] = eq_passes
+    if eq_alpha is not None:
+        kw["eq_alpha"] = eq_alpha
     cfg = cfgmod.make_tx_config(None, frame_length=frame_length, fec=use_fec)
     rxcfg = cfgmod.make_rx_config(None, frame_length=frame_length, fec=use_fec,
                                   **kw)
@@ -160,6 +164,8 @@ def main():
     p.add_argument("--frame-length", type=int, default=10)
     p.add_argument("--cnsts", default="1,2,3,4")
     p.add_argument("--eq-passes", type=int, default=None)
+    p.add_argument("--eq-alpha", type=float, default=None,
+                   help="tap-EMA alpha (0.1 = reference-exact tracking)")
     p.add_argument("--fec-alist", default=None,
                    help="alist path: run the LDPC transport-block path")
     p.add_argument("--json", default=None)
@@ -175,7 +181,8 @@ def main():
         for s in (float(x) for x in args.snrs.split(",")):
             r = run_point(c, s, args.frames, seed=int(10 * s) + c,
                           frame_length=args.frame_length,
-                          fec_alist=args.fec_alist, eq_passes=args.eq_passes)
+                          fec_alist=args.fec_alist, eq_passes=args.eq_passes,
+                          eq_alpha=args.eq_alpha)
             rows.append(r)
             loss = f"{r['loss_db']:+.2f} dB" if r["loss_db"] is not None else "  --  "
             print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "
