@@ -96,8 +96,14 @@ def _moving_sum(x: jax.Array, w: int) -> jax.Array:
 def timing_metric(r: jax.Array, fft_len: int = 64):
     """Schmidl-Cox P(d) and M(d) over a sample stream.
 
-    On TPU with ``GR_DTL_TPU_PALLAS=1``, 1-D streams dispatch to the
-    fused Pallas kernel (ops/sync_pallas) — same outputs, one VMEM pass.
+    On TPU, 1-D streams dispatch to the fused Pallas kernel
+    (ops/sync_pallas) by default — same outputs, one VMEM pass.
+    Measured end-to-end through the full receiver on one chip
+    (2026-08-20, batch x frame_samples streams): 125 vs 123 Ms/s at
+    256 frames, 177 vs 168 at 512, 231 vs 195 at 2048 (+18%) — the
+    kernel wins at every batch size, growing with stream length.
+    ``GR_DTL_TPU_PALLAS=0`` forces the jnp path (escape hatch: Mosaic
+    kernels make *this dev tunnel's* device->host reads need retries).
 
     Args:
       r: [..., N] complex64 stream.
@@ -107,7 +113,7 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     import os
 
     if (fft_len == 64 and r.ndim == 1
-            and os.environ.get("GR_DTL_TPU_PALLAS") == "1"):
+            and os.environ.get("GR_DTL_TPU_PALLAS", "1") != "0"):
         try:
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         except Exception:  # pragma: no cover

@@ -171,14 +171,16 @@ def timing_metric_pallas(r: jax.Array, fft_len: int = 64,
 
 def timing_metric(r: jax.Array, fft_len: int = 64):
     """Deprecated alias: the Pallas-vs-jnp dispatch gate lives in
-    ops/sync.timing_metric (opt-in via ``GR_DTL_TPU_PALLAS=1``).
+    ops/sync.timing_metric (default ON for 1-D streams on TPU;
+    ``GR_DTL_TPU_PALLAS=0`` forces the jnp path).
 
-    Measured on one v5e chip (2026-08-18): standalone on a 2M-sample
-    stream the kernel edges out the XLA path (301 vs 292 Gsamples/s,
-    both HBM-bound); *inside* the full receiver pipeline XLA's fusion
-    of the jnp formulation with its neighbours wins (62 vs 42
-    Gsamples/s end-to-end at 256-frame batches), so the jnp path is the
-    default and the kernel is the right choice only for long-stream
-    detection-only workloads.
+    Measured through the FULL receiver on one chip (bench.py,
+    2026-08-20, after the two-sided-normalization + shared-moving-sum
+    rework of both paths): the kernel wins at every batch size —
+    125 vs 123 Ms/s end-to-end at 256 frames/step, 177 vs 168 at 512,
+    231 vs 195 at 2048 (+18%) — so it is the default on TPU.  (An
+    earlier 2026-08-18 measurement had XLA's fusion winning in-pipeline;
+    that inverted when the jnp path gained the second normalization
+    moving-sum and the kernel kept it fused in the same VMEM pass.)
     """
     return sync_jnp.timing_metric(r, fft_len)

@@ -169,11 +169,13 @@ def main():
     p.add_argument("--fec-alist", default=None,
                    help="alist path: run the LDPC transport-block path")
     p.add_argument("--json", default=None)
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the default device (TPU when attached)")
     args = p.parse_args()
 
     import jax
 
-    if os.environ.get("RUN_MODEM_TPU", "0") != "1":
+    if not (args.tpu or os.environ.get("RUN_MODEM_TPU", "0") == "1"):
         jax.config.update("jax_platforms", "cpu")
 
     rows = []

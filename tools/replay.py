@@ -24,6 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("capture")
@@ -33,9 +35,11 @@ def main():
     p.add_argument("--config", default=None)
     p.add_argument("--store-rx", default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the default device (TPU when attached)")
     args = p.parse_args()
 
-    if os.environ.get("RUN_MODEM_TPU", "0") != "1":
+    if not (args.tpu or os.environ.get("RUN_MODEM_TPU", "0") == "1"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -63,11 +67,11 @@ def main():
     res = {
         "capture_samples": int(len(raw)),
         "frames": int(n_frames),
-        "header_ok_rate": float(np.asarray(rx.header_ok).mean()),
-        "crc_ok_rate": float(np.asarray(rx.crc_ok).mean()),
-        "est_snr_db": float(np.asarray(rx.snr_db).mean()),
-        "mean_cfo_subcarriers": float(np.asarray(eps).mean()),
-        "carr_offset": int(np.asarray(rx.carr_offset)[0]),
+        "header_ok_rate": float(fetch_np(rx.header_ok).mean()),
+        "crc_ok_rate": float(fetch_np(rx.crc_ok).mean()),
+        "est_snr_db": float(fetch_np(rx.snr_db).mean()),
+        "mean_cfo_subcarriers": float(fetch_np(eps).mean()),
+        "carr_offset": int(fetch_np(rx.carr_offset)[0]),
         "lost_frame_rate": float(lost_rate),
     }
     if args.store_rx:

@@ -31,10 +31,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _cpu():
+from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
+
+def _platform(args=None):
+    """Select the JAX platform for a tool run.
+
+    CPU is the default (demos and subprocess tests shouldn't depend on a
+    chip being attached); `--tpu` or RUN_MODEM_TPU=1 runs on the real
+    device — the same code path, just without the platform override.
+    """
     import jax
 
-    if os.environ.get("RUN_MODEM_TPU", "0") != "1":
+    want_tpu = (getattr(args, "tpu", False)
+                or os.environ.get("RUN_MODEM_TPU", "0") == "1")
+    if not want_tpu:
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
         )
@@ -43,7 +53,7 @@ def _cpu():
 
 
 def run_loopback(args):
-    jax = _cpu()
+    jax = _platform(args)
     import jax.numpy as jnp
 
     from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
@@ -85,25 +95,36 @@ def run_loopback(args):
     for i in range(B):
         payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
 
-    out = transmitter.tx_frames(
-        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
-        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
-        jax.random.PRNGKey(args.seed),
-        fec_id=None if fec_ids is None else jnp.asarray(fec_ids),
-    )
+    # One jitted TX->channel->RX step: on a TPU attachment every eager
+    # op is a host round trip (and on the dev tunnel, eager results can
+    # fail device->host transfer outright), so the whole loopback runs
+    # as a single compiled program — the same discipline as bench.py.
+    @jax.jit
+    def loopback_step(payload_d, plen_d, cnst_d, fec_id_d, key_tx, key_ch):
+        out = transmitter.tx_frames(
+            txp, payload_d, plen_d, cnst_d,
+            jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+            key_tx, fec_id=fec_id_d,
+        )
+        sig = jnp.mean(jnp.abs(out.samples) ** 2)
+        noise_v = jnp.sqrt(sig / 10 ** (args.snr_db / 10))
+        stream = jnp.concatenate(
+            [jnp.zeros(517, jnp.complex64), out.samples.reshape(-1),
+             jnp.zeros(400, jnp.complex64)]
+        )
+        stream = channel.channel_model(
+            key_ch, stream,
+            noise_voltage=noise_v, freq_offset=args.cfo, fft_len=cfg.fft_len,
+        )
+        frames, eps = receiver.detect_and_extract(stream, rxcfg, B)
+        return receiver.rx_frames(rxp, frames)
+
     tx_view = (payload, plen)  # user payload for the offline BER store
-    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
-    noise_v = float(np.sqrt(sig / 10 ** (args.snr_db / 10)))
-    stream = jnp.concatenate(
-        [jnp.zeros(517, jnp.complex64), out.samples.reshape(-1),
-         jnp.zeros(400, jnp.complex64)]
+    rx = loopback_step(
+        jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        None if fec_ids is None else jnp.asarray(fec_ids),
+        jax.random.PRNGKey(args.seed), jax.random.PRNGKey(args.seed + 1),
     )
-    stream = channel.channel_model(
-        jax.random.PRNGKey(args.seed + 1), stream,
-        noise_voltage=noise_v, freq_offset=args.cfo, fft_len=cfg.fft_len,
-    )
-    frames, eps = receiver.detect_and_extract(stream, rxcfg, B)
-    rx = receiver.rx_frames(rxp, frames)
 
     res = _summarize(rx, B)
     res["mode"] = "loopback"
@@ -114,7 +135,7 @@ def run_loopback(args):
 
 
 def run_full_duplex(args):
-    jax = _cpu()
+    jax = _platform(args)
     from gr_dtl_tpu.utils import config as cfgmod
     from gr_dtl_tpu.models import full_duplex
 
@@ -136,18 +157,18 @@ def run_full_duplex(args):
     res = {
         "mode": "full-duplex",
         "rounds": args.rounds,
-        "a_tx_cnst_final": int(np.asarray(telem["a_tx_cnst"])[-1]),
-        "b_tx_cnst_final": int(np.asarray(telem["b_tx_cnst"])[-1]),
-        "a_crc_rate": float(np.asarray(telem["a_crc_ok"]).mean()),
-        "b_crc_rate": float(np.asarray(telem["b_crc_ok"]).mean()),
-        "snr_at_a_db": float(np.asarray(telem["snr_at_a"])[-8:].mean()),
-        "snr_at_b_db": float(np.asarray(telem["snr_at_b"])[-8:].mean()),
+        "a_tx_cnst_final": int(fetch_np(telem["a_tx_cnst"])[-1]),
+        "b_tx_cnst_final": int(fetch_np(telem["b_tx_cnst"])[-1]),
+        "a_crc_rate": float(fetch_np(telem["a_crc_ok"]).mean()),
+        "b_crc_rate": float(fetch_np(telem["b_crc_ok"]).mean()),
+        "snr_at_a_db": float(fetch_np(telem["snr_at_a"])[-8:].mean()),
+        "snr_at_b_db": float(fetch_np(telem["snr_at_b"])[-8:].mean()),
     }
     _report(args, res)
 
 
 def run_simplex(args):
-    jax = _cpu()
+    jax = _platform(args)
     from gr_dtl_tpu.utils import config as cfgmod
     from gr_dtl_tpu.models import simplex
 
@@ -161,10 +182,10 @@ def run_simplex(args):
     res = {
         "mode": "simplex",
         "rounds": args.rounds,
-        "tx_cnst_final": int(np.asarray(telem["tx_cnst"])[-1]),
-        "crc_rate": float(np.asarray(telem["crc_ok"]).mean()),
-        "burst_ok_rate": float(np.asarray(telem["burst_ok"]).mean()),
-        "snr_db": float(np.asarray(telem["snr_db"])[-8:].mean()),
+        "tx_cnst_final": int(fetch_np(telem["tx_cnst"])[-1]),
+        "crc_rate": float(fetch_np(telem["crc_ok"]).mean()),
+        "burst_ok_rate": float(fetch_np(telem["burst_ok"]).mean()),
+        "snr_db": float(fetch_np(telem["snr_db"])[-8:].mean()),
     }
     _report(args, res)
 
@@ -175,11 +196,11 @@ def _summarize(rx, B):
     n_lost, n_total, lost_rate = metrics.lost_frames(rx.frame_no, rx.header_ok)
     return {
         "frames": B,
-        "header_ok_rate": float(np.asarray(rx.header_ok).mean()),
-        "crc_ok_rate": float(np.asarray(rx.crc_ok).mean()),
-        "est_snr_db": float(np.asarray(rx.snr_db).mean()),
-        "lost_frame_rate": float(lost_rate),
-        "carr_offset": int(np.asarray(rx.carr_offset)[0]),
+        "header_ok_rate": float(fetch_np(rx.header_ok).mean()),
+        "crc_ok_rate": float(fetch_np(rx.crc_ok).mean()),
+        "est_snr_db": float(fetch_np(rx.snr_db).mean()),
+        "lost_frame_rate": fetch_float(lost_rate),
+        "carr_offset": int(fetch_np(rx.carr_offset)[0]),
     }
 
 
@@ -244,6 +265,9 @@ def main():
     p.add_argument("--store-rx", default=None)
     p.add_argument("--zmq", default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the default device (TPU when attached) "
+                        "instead of forcing the CPU platform")
     p.add_argument("--set", action="append", default=[], metavar="KEY=JSON",
                    help="config override, e.g. --set cp_len=32 "
                         "--set 'mcs=[[0,[\"bpsk\",\"no_fec\"]]]' "
