@@ -114,14 +114,23 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
 
     if (fft_len == 64 and r.ndim == 1
             and os.environ.get("GR_DTL_TPU_PALLAS", "1") != "0"):
-        try:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:  # pragma: no cover
-            on_tpu = False
-        if on_tpu:
-            from gr_dtl_tpu.ops import sync_pallas
+        from gr_dtl_tpu.ops import sync_pallas
 
-            return sync_pallas.timing_metric_pallas(r, fft_len)
+        # dispatch on the LOWERING platform, not the process default:
+        # the same jitted graph may be compiled for CPU devices (virtual
+        # multi-device meshes, dryrun_multichip) while the default
+        # platform is the TPU — the Pallas branch must only be lowered
+        # for accelerator backends
+        return jax.lax.platform_dependent(
+            cpu=lambda: _timing_metric_jnp(r, fft_len),
+            default=lambda: sync_pallas.timing_metric_pallas(r, fft_len),
+        )
+    return _timing_metric_jnp(r, fft_len)
+
+
+def _timing_metric_jnp(r: jax.Array, fft_len: int = 64):
+    """Pure-jnp metric (any backend); the docstring formula lives on
+    ``timing_metric``."""
     half = fft_len // 2
     out = r.shape[-1] - fft_len
     lagged = jnp.conj(r[..., :-half]) * r[..., half:]  # [N-half]

@@ -16,7 +16,10 @@ into one VMEM-resident pass per block:
 - P (complex, as two float planes) and M are produced in one pass.
 
 Outputs match ops/sync.timing_metric exactly (same definition:
-``P(d) = sum_{m<32} conj(r[d+m]) r[d+m+32]``, ``M = |P|^2/R^2``).
+``P(d) = sum_{m<32} conj(r[d+m]) r[d+m+32]`` with the two-sided
+Cauchy-Schwarz normalization ``M = |P|^2 / (R1 * R2)`` where
+``R1(d) = sum |r[d+m]|^2`` and ``R2(d) = sum |r[d+m+32]|^2`` — both
+half-window energies, so M <= 1 even at signal->silence edges).
 ``timing_metric`` below dispatches to the kernel on TPU and falls back
 to the jnp version elsewhere (tests run the kernel in interpreter mode
 for bit-level comparison).

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI tools default to the chip when one is attached; subprocesses
+# spawned by tests must stay on the CPU platform (tools/run_modem.py
+# honors this env override)
+os.environ["RUN_MODEM_CPU"] = "1"
 
 import jax  # noqa: E402
 

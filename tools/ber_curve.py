@@ -169,13 +169,17 @@ def main():
     p.add_argument("--fec-alist", default=None,
                    help="alist path: run the LDPC transport-block path")
     p.add_argument("--json", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (default: use the chip "
+                        "when one is attached)")
     p.add_argument("--tpu", action="store_true",
-                   help="run on the default device (TPU when attached)")
+                   help="back-compat: don't force CPU (now the default)")
     args = p.parse_args()
 
     import jax
 
-    if not (args.tpu or os.environ.get("RUN_MODEM_TPU", "0") == "1"):
+    want_cpu = args.cpu or os.environ.get("RUN_MODEM_CPU", "0") == "1"
+    if want_cpu and not (args.tpu or os.environ.get("RUN_MODEM_TPU", "0") == "1"):
         jax.config.update("jax_platforms", "cpu")
 
     rows = []

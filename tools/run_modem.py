@@ -36,15 +36,20 @@ from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
 def _platform(args=None):
     """Select the JAX platform for a tool run.
 
-    CPU is the default (demos and subprocess tests shouldn't depend on a
-    chip being attached); `--tpu` or RUN_MODEM_TPU=1 runs on the real
-    device — the same code path, just without the platform override.
+    Default: run on the chip when one is attached (the platform priority
+    list already falls back to CPU when no accelerator initializes, so
+    no probing is needed).  `--cpu` or RUN_MODEM_CPU=1 forces the CPU
+    with a virtual 8-device mesh (demos / subprocess tests that must not
+    depend on a chip); `--tpu` / RUN_MODEM_TPU=1 are accepted for
+    back-compat and mean "don't force CPU".
     """
     import jax
 
+    want_cpu = (getattr(args, "cpu", False)
+                or os.environ.get("RUN_MODEM_CPU", "0") == "1")
     want_tpu = (getattr(args, "tpu", False)
                 or os.environ.get("RUN_MODEM_TPU", "0") == "1")
-    if not want_tpu:
+    if want_cpu and not want_tpu:
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
         )
@@ -265,9 +270,11 @@ def main():
     p.add_argument("--store-rx", default=None)
     p.add_argument("--zmq", default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (8 virtual devices); "
+                        "by default the run uses the chip when attached")
     p.add_argument("--tpu", action="store_true",
-                   help="run on the default device (TPU when attached) "
-                        "instead of forcing the CPU platform")
+                   help="back-compat: don't force CPU (now the default)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=JSON",
                    help="config override, e.g. --set cp_len=32 "
                         "--set 'mcs=[[0,[\"bpsk\",\"no_fec\"]]]' "
