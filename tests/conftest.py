@@ -24,5 +24,23 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["RUN_MODEM_CPU"] = "1"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (full gate, ~20 min)")
+    parser.addoption("--runtpu", action="store_true", default=False,
+                     help="run tests marked tpu (need the real chip)")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_slow = pytest.mark.skip(reason="slow: use --runslow")
+    skip_tpu = pytest.mark.skip(reason="tpu: use --runtpu (bench lane)")
+    for item in items:
+        if "slow" in item.keywords and not config.getoption("--runslow"):
+            item.add_marker(skip_slow)
+        if "tpu" in item.keywords and not config.getoption("--runtpu"):
+            item.add_marker(skip_tpu)

@@ -93,3 +93,21 @@ stream.astype(np.complex64).tofile({str(cap)!r})
     assert res["header_ok_rate"] == 1.0
     assert res["crc_ok_rate"] == 1.0
     assert abs(res["mean_cfo_subcarriers"] - 0.2) < 0.05
+
+
+import pytest
+
+
+@pytest.mark.tpu
+def test_loopback_cli_on_chip():
+    """Bench-lane smoke: the flagship CLI demo on the real chip (tools
+    default to the chip when one is attached; `--cpu` is the override)."""
+    env = dict(os.environ)
+    env.pop("RUN_MODEM_CPU", None)  # conftest pins subprocesses to CPU
+    res = subprocess.run(
+        [sys.executable, "tools/run_modem.py", "loopback", "--frames", "8",
+         "--frame-length", "10", "--snr-db", "25", "--json"],
+        capture_output=True, text=True, cwd=HERE, timeout=420, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["crc_ok_rate"] == 1.0
