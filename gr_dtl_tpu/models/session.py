@@ -44,6 +44,7 @@ import numpy as np
 
 from gr_dtl_tpu.ops import burst, constellation as cn, metrics, sync
 from gr_dtl_tpu.models import adaptive, receiver, streaming, transmitter
+from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
 
 __all__ = ["StreamRx", "StreamTx", "StreamDuplex", "StreamBurstRx",
            "StreamSimplex"]
@@ -179,12 +180,15 @@ class StreamRx:
             jnp.asarray(samples), self._lock, self._fallback,
             self._expected_no, tb_state)
         self._tail = np.asarray(chunk)[-self.tail_len :]
-        self.n_lost += int(acct[0])
-        self.n_frames += int(acct[0]) + int(acct[1])
+        # robust readback: the dev tunnel's device->host copies are
+        # intermittently flaky (utils/fetch docstring)
+        a = fetch_np(jnp.stack(acct))
+        self.n_lost += int(a[0])
+        self.n_frames += int(a[0]) + int(a[1])
         if self._use_tb:
             self._tb_state = tb_state
-            return out, np.asarray(valid), tb_out
-        return out, np.asarray(valid)
+            return out, fetch_np(valid), tb_out
+        return out, fetch_np(valid)
 
     def flush_tb(self):
         """Emit the in-progress transport block (end of stream) —
@@ -332,10 +336,10 @@ class StreamTx:
             "frame_no": frame_nos,
             "payload_len": full_plen,
             "cnst_id": np.full(F, self._cnst, np.int32),
-            "frame_bytes": np.asarray(out.frame_bytes),
-            "l_total": np.asarray(out.l_total),
+            "frame_bytes": fetch_np(out.frame_bytes),
+            "l_total": fetch_np(out.l_total),
         }
-        return np.asarray(out.samples).reshape(-1), info
+        return fetch_np(out.samples).reshape(-1), info
 
 
 class StreamBurstRx:

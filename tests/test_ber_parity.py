@@ -17,6 +17,8 @@ for finite-sample wobble).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tools.ber_curve import implementation_loss_db, run_point
 
 # (cnst_id, channel snr dB, frames) — chosen so theory BER is measurable
@@ -64,6 +66,51 @@ def test_reference_exact_alpha_mode_decodes():
                   eq_passes=1, eq_alpha=0.1)
     assert r["hdr_ok_rate"] == 1.0
     assert r["ber"] < 1e-3, r
+
+
+# --- coded path (LDPC transport blocks, reference examples/config_fec.json) ---
+
+import os
+
+FEC_ALIST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples", "n_0300_k_0152.alist")
+# ^ the reference demo code's geometry (n=300, k=152) — generated, not copied
+
+# The FEC ladder switches constellations 2 dB earlier than the uncoded
+# ladder (11/16/21 vs 13/18/23 dB, ref examples/config_fec.json vs
+# config.json) — i.e. the code must buy >=2 dB at each switch point.
+FEC_POINTS = [(2, 11.0), (3, 16.0), (4, 21.0)]
+
+
+@pytest.mark.parametrize("cnst_id,snr_db", FEC_POINTS)
+def test_fec_ladder_operating_points_decode_clean(cnst_id, snr_db):
+    """At its own ladder's operating point every coded MCS must decode
+    essentially error-free over a real TB population (>=128 TBs; the
+    round-2 curves carried ~32/point, too thin to claim anything)."""
+    r = run_point(cnst_id, snr_db, 64, seed=31 + cnst_id, frame_length=10,
+                  fec_alist=FEC_ALIST, target_frame_errors=2, max_batches=2)
+    assert r["frames"] >= 128
+    assert r["frame_errors"] <= 1, (
+        f"coded cnst={cnst_id} @ {snr_db} dB: {r['frame_errors']} TB errors "
+        f"in {r['frames']} TBs (FER {r['fer']:.3f})")
+
+
+def test_fec_coding_gain_at_qpsk_switch_point():
+    """The measurable heart of the FEC parity claim: at 11 dB — where
+    the FEC ladder runs QPSK but the uncoded ladder still can't (its
+    QPSK threshold is 13 dB) — the coded path must be clean while the
+    uncoded path shows a real error floor.  A >=2 dB gain at this point
+    is exactly what justifies the reference's shifted thresholds."""
+    coded = run_point(2, 11.0, 64, seed=5, frame_length=10,
+                      fec_alist=FEC_ALIST, target_frame_errors=2,
+                      max_batches=2)
+    uncoded = run_point(2, 11.0, 64, seed=5, frame_length=10,
+                        target_frame_errors=50, max_batches=4)
+    assert uncoded["ber"] >= 1e-3, (
+        "uncoded QPSK at 11 dB should show a measurable error floor; "
+        f"got BER {uncoded['ber']:.2e}")
+    assert coded["ber"] <= uncoded["ber"] / 20, (coded["ber"], uncoded["ber"])
+    assert coded["frame_errors"] <= 1, coded
 
 
 def test_default_alpha_beats_reference_alpha():

@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -16,6 +18,7 @@ def _run(args):
     return res.stdout
 
 
+@pytest.mark.slow
 def test_loopback_cli_with_overrides_and_ber(tmp_path):
     tx = tmp_path / "tx.dat"
     rx = tmp_path / "rx.dat"
@@ -32,6 +35,7 @@ def test_loopback_cli_with_overrides_and_ber(tmp_path):
     assert "ber" in ber_out.lower()
 
 
+@pytest.mark.slow
 def test_full_duplex_cli(tmp_path):
     out = _run([
         "tools/run_modem.py", "full-duplex", "--rounds", "12",
@@ -93,9 +97,6 @@ stream.astype(np.complex64).tofile({str(cap)!r})
     assert res["header_ok_rate"] == 1.0
     assert res["crc_ok_rate"] == 1.0
     assert abs(res["mean_cfo_subcarriers"] - 0.2) < 0.05
-
-
-import pytest
 
 
 @pytest.mark.tpu

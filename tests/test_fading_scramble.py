@@ -8,6 +8,7 @@ import numpy as np
 from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.ops import channel, constellation as cn, scramble
 from gr_dtl_tpu.models import receiver, transmitter
+import pytest
 
 
 def test_scrambler_involution_and_whitening():
@@ -24,6 +25,7 @@ def test_scrambler_involution_and_whitening():
         np.asarray(scramble.scramble_frames(frames, seed=0)), np.asarray(frames))
 
 
+@pytest.mark.slow
 def test_scrambled_loopback():
     cfg = cfgmod.make_tx_config(None, frame_length=10, scramble_bits=True)
     rxcfg = cfgmod.make_rx_config(None, frame_length=10, scramble_bits=True)
@@ -49,6 +51,7 @@ def test_scrambled_loopback():
     assert not bool(jnp.any(rx_plain.crc_ok))
 
 
+@pytest.mark.slow
 def test_fading_loopback():
     """QPSK frames through slow Rayleigh selective fading + AWGN: the
     pilot-tracking equalizer follows the channel; most frames decode."""

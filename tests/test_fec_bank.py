@@ -88,6 +88,7 @@ def test_bank_of_one_matches_single_code_path():
     assert np.asarray(out_bank.crc_ok).all()
 
 
+@pytest.mark.slow
 def test_mixed_code_ofdm_loopback():
     """Full OFDM chain with per-frame code selection announced in the
     header's fec_scheme field: TX -> AWGN -> RX, exact recovery."""

@@ -55,6 +55,7 @@ def test_fec_direct_txrx(ctype):
     np.testing.assert_array_equal(np.asarray(rx.payload), payload)
 
 
+@pytest.mark.slow
 def test_fec_beats_uncoded_at_low_snr():
     """At an SNR where uncoded BPSK frames always fail, coded frames pass."""
     cfg, rxcfg, fec, txp, rxp = _setup()

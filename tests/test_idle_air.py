@@ -11,6 +11,7 @@ import numpy as np
 from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.ops import channel
 from gr_dtl_tpu.models import session, transmitter
+import pytest
 
 
 def _tx_frames(txcfg, txp, frame_nos, seed=0):
@@ -73,6 +74,7 @@ def test_bursty_traffic_with_silent_gaps():
     assert rx.lost_frame_rate == 0.0
 
 
+@pytest.mark.slow
 def test_partially_filled_block():
     """A block where only 2 of 4 slots carry frames: both decode, the
     empty slots decode nothing, and accounting stays clean."""

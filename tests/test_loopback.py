@@ -125,6 +125,7 @@ def test_channel_loopback_integer_cfo():
     np.testing.assert_array_equal(np.asarray(rx.payload), payload)
 
 
+@pytest.mark.slow
 def test_channel_loopback_clock_drift():
     """Sample-clock offset (~60 ppm): per-frame trigger refinement must
     absorb the accumulating timing drift across 24 frames (the recorded

@@ -8,8 +8,10 @@ import numpy as np
 from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.ops import channel, constellation as cn
 from gr_dtl_tpu.models import session, transmitter
+import pytest
 
 
+@pytest.mark.slow
 def test_stream_rx_chunked():
     cfg = cfgmod.make_rx_config(None, frame_length=10)
     txcfg = cfgmod.make_tx_config(None, frame_length=10)
@@ -246,6 +248,7 @@ def test_stream_rx_sample_slip_resync():
     assert rx.lost_frame_rate > 0
 
 
+@pytest.mark.slow
 def test_stream_duplex_adaptation():
     """Host-level always-on duplex: the high-SNR direction upgrades its
     TX constellation via the in-band echo; the low-SNR one stays BPSK."""

@@ -30,6 +30,7 @@ def test_sfo_interpolator_fidelity():
 
 
 @pytest.mark.parametrize("ppm", [50.0, -50.0])
+@pytest.mark.slow
 def test_stream_rx_sfo_drift(ppm):
     """200 frames (~10 samples of cumulative drift) at ±50 ppm + 25 dB
     AWGN: every frame decodes exactly once through StreamRx."""

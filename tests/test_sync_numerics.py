@@ -11,6 +11,7 @@ from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.ops import channel
 from gr_dtl_tpu.ops.sync import _moving_sum, extract_windows
 from gr_dtl_tpu.models import receiver, transmitter
+import pytest
 
 
 def test_moving_sum_exact_any_position():
@@ -38,6 +39,7 @@ def test_extract_windows_matches_index_gather():
         np.testing.assert_array_equal(got[i], s[t:t + 100])
 
 
+@pytest.mark.slow
 def test_long_stream_detection_exact():
     """>2M-sample loopback: every frame must decode (float32 index
     precision bugs used to fail frames batch-size-dependently)."""

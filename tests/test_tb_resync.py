@@ -15,6 +15,7 @@ import numpy as np
 from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
 from gr_dtl_tpu.ops import channel, constellation as cn
 from gr_dtl_tpu.models import fec_chain, session, transmitter
+import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALIST = os.path.join(HERE, "examples", "n_0100_k_0027.alist")
@@ -60,6 +61,7 @@ def test_tb_reassemble_unit():
     assert np.asarray(st.llrs)[0, 0] == 5.0 and np.asarray(st.llrs)[1, 0] == 6.0
 
 
+@pytest.mark.slow
 def test_stream_rx_tb_loss_resync():
     """StreamRx FEC session (W=2): corrupt one frame mid-TB; every TB
     not touched by the corruption must still decode exactly."""
@@ -132,6 +134,7 @@ def test_stream_rx_tb_loss_resync():
         assert got[g] == payload[g * W, :nb].tobytes(), f"TB {g} mismatch"
 
 
+@pytest.mark.slow
 def test_stream_rx_tb_multi_loss_and_cnst_switch():
     """Two separate losses + a mid-stream constellation switch: the
     offset-keyed reassembly must stay aligned through both."""

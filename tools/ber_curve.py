@@ -80,11 +80,24 @@ def implementation_loss_db(cnst_id: int, es_n0_db: float, measured: float) -> fl
 
 
 def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
-              eq_passes=None, eq_alpha=None):
+              eq_passes=None, eq_alpha=None, target_frame_errors=None,
+              max_batches=200):
+    """One (constellation, SNR) point.
+
+    With ``target_frame_errors`` set, batches of ``frames`` frames are
+    accumulated (one jitted graph, re-keyed per batch) until that many
+    frame/TB errors are observed or ``max_batches`` is hit — real
+    waterfall statistics instead of a single thin batch (the round-2
+    FEC curves carried ~32 TBs/point; the reference's TBER telemetry,
+    ``lib/dtl/proto/monitor_ofdm.proto``, implies populations).
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
+    from gr_dtl_tpu.utils.fetch import fetch_np
     from gr_dtl_tpu.ops import channel, constellation as cn
     from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
@@ -113,33 +126,53 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
         maxb = cfg.max_frame_bytes()
         plen = np.full(B, cfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst_id])) - 4,
                        np.int32)
-    payload = np.zeros((B, maxb), np.uint8)
-    for i in range(B):
-        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
-    out = transmitter.tx_frames(
-        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
-        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
-        jax.random.PRNGKey(seed),
-    )
-    # noise level from the channel-SNR definition (mean TX sample power),
+
+    # calibrate the noise level once (mean TX sample power at this MCS);
     # theory axis from the EXACT injected noise variance
+    cal_payload = np.zeros((B, maxb), np.uint8)
+    for i in range(B):
+        cal_payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(cal_payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+        jax.random.PRNGKey(seed))
     sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
     noise_v = float(np.sqrt(sig / 10 ** (snr_db / 10)))
     es_n0 = -20.0 * np.log10(noise_v)
-    noisy = channel.awgn(jax.random.PRNGKey(seed + 1), out.samples, noise_v)
-    rx = receiver.rx_frames(rxp, noisy, fallback_cnst=jnp.asarray(cnst))
 
-    got = np.asarray(rx.payload)
-    hdr_ok = np.asarray(rx.header_ok)
+    @functools.partial(jax.jit, static_argnums=())
+    def batch(payload, key):
+        tx = transmitter.tx_frames(
+            txp, payload, jnp.asarray(plen), jnp.asarray(cnst),
+            jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32) % 4096,
+            jax.random.fold_in(key, 0))
+        noisy = channel.awgn(jax.random.fold_in(key, 1), tx.samples, noise_v)
+        rx = receiver.rx_frames(rxp, noisy, fallback_cnst=jnp.asarray(cnst))
+        return rx.payload, rx.header_ok
+
     bit_errors = 0
     bits_total = 0
     frame_errors = 0
-    for i in range(B):
-        bits_total += int(plen[i]) * 8
-        e = int(np.unpackbits(got[i, : plen[i]] ^ payload[i, : plen[i]]).sum())
-        bit_errors += e
-        if e or not hdr_ok[i]:
-            frame_errors += 1
+    hdr_ok_total = 0
+    n_frames = 0
+    n_batches = max_batches if target_frame_errors else 1
+    for b in range(n_batches):
+        payload = np.zeros((B, maxb), np.uint8)
+        for i in range(B):
+            payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+        got, hdr_ok = batch(jnp.asarray(payload),
+                            jax.random.PRNGKey(seed + 7919 * b))
+        got, hdr_ok = fetch_np(got), fetch_np(hdr_ok)
+        # vectorized bit-error count (plen is constant per point)
+        L = int(plen[0])
+        e_bits = np.unpackbits(got[:, :L] ^ payload[:, :L], axis=1).sum(1)
+        bit_errors += int(e_bits.sum())
+        bits_total += B * L * 8
+        frame_errors += int(((e_bits > 0) | ~hdr_ok).sum())
+        hdr_ok_total += int(hdr_ok.sum())
+        n_frames += B
+        if target_frame_errors and frame_errors >= target_frame_errors:
+            break
     ber = bit_errors / bits_total
     th = theory_ber(cnst_id, es_n0)
     return {
@@ -147,8 +180,10 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
         "snr_db": snr_db,
         "es_n0_db": round(float(es_n0), 2),
         "ber": ber,
-        "fer": frame_errors / B,
-        "hdr_ok_rate": float(hdr_ok.sum()) / B,
+        "fer": frame_errors / n_frames,
+        "frames": n_frames,
+        "frame_errors": frame_errors,
+        "hdr_ok_rate": hdr_ok_total / n_frames,
         "theory_ber": th,
         "loss_db": (round(implementation_loss_db(cnst_id, es_n0, ber), 3)
                     if bit_errors >= 10 else None),
@@ -168,6 +203,10 @@ def main():
                    help="tap-EMA alpha (0.1 = reference-exact tracking)")
     p.add_argument("--fec-alist", default=None,
                    help="alist path: run the LDPC transport-block path")
+    p.add_argument("--target-frame-errors", type=int, default=None,
+                   help="accumulate batches until this many frame/TB "
+                        "errors per point (waterfall statistics)")
+    p.add_argument("--max-batches", type=int, default=200)
     p.add_argument("--json", default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (default: use the chip "
@@ -188,7 +227,9 @@ def main():
             r = run_point(c, s, args.frames, seed=int(10 * s) + c,
                           frame_length=args.frame_length,
                           fec_alist=args.fec_alist, eq_passes=args.eq_passes,
-                          eq_alpha=args.eq_alpha)
+                          eq_alpha=args.eq_alpha,
+                          target_frame_errors=args.target_frame_errors,
+                          max_batches=args.max_batches)
             rows.append(r)
             loss = f"{r['loss_db']:+.2f} dB" if r["loss_db"] is not None else "  --  "
             print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "

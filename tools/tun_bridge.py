@@ -114,7 +114,8 @@ class ModemPipe:
         return packets_out
 
 
-def self_test(n_packets: int = 8, timeout_s: float = 60.0) -> int:
+def self_test(n_packets: int = 8, timeout_s: float = 60.0,
+              out_path: str | None = None) -> int:
     tun = open_tun()
     modem = ModemPipe()
     # warm up the jitted chain before real traffic (first compile ~30 s)
@@ -155,6 +156,17 @@ def self_test(n_packets: int = 8, timeout_s: float = 60.0) -> int:
         except socket.timeout:
             pass
     print(f"self-test: {echoed}/{n_packets} UDP packets echoed through the modem")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({
+                "test": "udp echo through tun -> convergence layer -> "
+                        "OFDM loopback (AWGN) -> convergence layer -> tun",
+                "packets_sent": n_packets,
+                "packets_echoed": echoed,
+                "ok": echoed == n_packets,
+            }, f, indent=2)
     return 0 if echoed == n_packets else 1
 
 
@@ -162,9 +174,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--self-test", action="store_true")
     p.add_argument("--packets", type=int, default=8)
+    p.add_argument("--out", default=None, help="write a JSON artifact")
     args = p.parse_args()
     if args.self_test:
-        sys.exit(self_test(args.packets))
+        sys.exit(self_test(args.packets, out_path=args.out))
     # bridge mode: echo forever
     tun = open_tun()
     modem = ModemPipe()
