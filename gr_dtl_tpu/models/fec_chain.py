@@ -39,8 +39,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from gr_dtl_tpu.ops import constellation as cn
 from gr_dtl_tpu.ops import gf2, ldpc, repack
+
+# Bank-decoder form switch: banks up to this many codes take the dense
+# matmul-form BP (MXU-resident, n_codes x redundant FLOPs), larger
+# banks the gather form.  Default measured on the chip 2026-08-20
+# (tools/bench_bank_switch.py -> examples/bank_switch_bench.json);
+# override per deployment via env.
+BANK_MM_MAX_CODES = int(os.environ.get("GR_DTL_TPU_BANK_MM_MAX", "4"))
 
 __all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut",
            "TbRing", "init_tb_state", "tb_reassemble", "decode_emitted"]
@@ -556,8 +565,9 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         code_idx = jnp.repeat(fec_id, Cmax)
         # small banks take the dense matmul-form decoder (MXU-resident;
         # n_codes x redundant FLOPs beat the gather walks), big banks
-        # the gather form — see ops/ldpc.decode_bank_mm
-        dec = (ldpc.decode_bank_mm if bank["n_codes"] <= 4
+        # the gather form — measured crossover in
+        # examples/bank_switch_bench.json (BANK_MM_MAX_CODES to tune)
+        dec = (ldpc.decode_bank_mm if bank["n_codes"] <= BANK_MM_MAX_CODES
                else ldpc.decode_bank)
         bits, iters, ok = dec(
             cw_llrs.reshape(-1, Nmax).astype(jnp.float32), code_idx, bank,

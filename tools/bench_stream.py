@@ -43,8 +43,19 @@ from gr_dtl_tpu.utils.fetch import fetch_np  # noqa: E402
 
 
 def _make_stream(txcfg, n_frames, seed=0):
-    """Modulate n_frames QPSK frames into one contiguous sample stream
-    (generation is not timed)."""
+    """Modulate n_frames QPSK frames into one contiguous sample stream.
+
+    Generation is not timed and runs on the in-process CPU backend: the
+    bench tunnel's device->host path fails persistently for multi-MB
+    array fetches (small per-block readbacks only need retries), and
+    this stream is a multi-MB fetch-once input."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _make_stream_here(txcfg, n_frames, seed)
+
+
+def _make_stream_here(txcfg, n_frames, seed=0):
     import jax
     import jax.numpy as jnp
     from gr_dtl_tpu.models import transmitter
