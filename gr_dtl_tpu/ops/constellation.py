@@ -44,6 +44,7 @@ __all__ = [
     "hard_decision",
     "nearest_point",
     "soft_llrs",
+    "soft_llrs_table",
     "min_distances",
 ]
 
@@ -249,12 +250,26 @@ def hard_decision(y: jax.Array, cnst_id: jax.Array) -> jax.Array:
 
 
 def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Array:
-    """Max-log LLRs per bit, LSB-first bit order.
+    """Max-log LLRs per bit, LSB-first bit order — closed-form slicers.
 
     Replaces the reference's per-symbol ``calc_soft_dec`` host loop
     (``ofdm_adaptive_constellation_soft_cf_impl.cc:143-148``).  Sign
     convention: LLR > 0 means bit 0 more likely (log P(b=0) - log P(b=1)),
     matching this framework's LDPC decoder input convention.
+
+    Like :func:`nearest_point`, the generic table reduction (distances
+    to all 16 padded points, two masked maxes over a [..., n, 16, 4]
+    broadcast — kept as :func:`soft_llrs_table`, the oracle the tests
+    pin this against) is replaced with per-constellation closed forms:
+
+    - BPSK/QPSK: LLRs are linear in the matched axis (±a points:
+      max-log LLR = -4·a·axis/sigma^2).
+    - 16QAM (Gray per axis, levels ±L, ±3L): the classic piecewise-
+      linear 4-PAM forms — inner bit (4L|u| - 8L^2)/s2, sign bit
+      -(4Lu + 4L·sign(u)·relu(|u| - 2L))/s2.
+    - 8PSK (unit circle): d^2 = |y|^2 + 1 - 2 proj, so subset-min
+      distances reduce to subset-max projections onto the 8 angles
+      (one [..., n, 8] tensor instead of [..., n, 16, 4]).
 
     Args:
       y:         [..., n] complex received symbols.
@@ -263,6 +278,77 @@ def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Arr
                  cnst_id.
     Returns [..., n, MAX_BPS] float32 LLRs; bits above the frame's bps are 0.
     """
+    cid = _expand_to(jnp.asarray(cnst_id), y.shape)  # [..., n]
+    nv = jnp.maximum(_expand_to(noise_var, y.shape), 1e-12)
+    re = jnp.real(y).astype(jnp.float32)
+    im = jnp.imag(y).astype(jnp.float32)
+
+    a_q = jnp.float32(0.5 * _SQ2)  # QPSK axis amplitude (x0.5 normalized)
+    L = jnp.float32(1.0 / np.sqrt(10.0))  # 16QAM level
+
+    zeros = jnp.zeros_like(re)
+    # BPSK: b0 in {0 -> -1, 1 -> +1}
+    bpsk = jnp.stack([-4.0 * re, zeros, zeros, zeros], axis=-1)
+    # QPSK: b0 -> I sign, b1 -> Q sign
+    qpsk = jnp.stack([-4.0 * a_q * re, -4.0 * a_q * im, zeros, zeros],
+                     axis=-1)
+
+    def pam4(u):
+        """Gray 4-PAM (±L inner, ±3L outer): (inner-bit, sign-bit) LLRs."""
+        au = jnp.abs(u)
+        inner = 4.0 * L * au - 8.0 * L * L
+        sign = -(4.0 * L * u
+                 + 4.0 * L * jnp.sign(u) * jnp.maximum(au - 2.0 * L, 0.0))
+        return inner, sign
+
+    qi0, qi1 = pam4(re)
+    qq0, qq1 = pam4(im)
+    qam16 = jnp.stack([qi0, qi1, qq0, qq1], axis=-1)
+
+    # 8PSK: projections onto the 8 ring angles, subset maxes per bit
+    psk8 = _psk8_llrs(re, im)
+
+    llr = jnp.where(cid[..., None] == 1, bpsk,
+          jnp.where(cid[..., None] == 2, qpsk,
+          jnp.where(cid[..., None] == 3, psk8, qam16)))
+    llr = llr / nv[..., None]
+    bps = jnp.asarray(BITS_PER_SYMBOL)
+    bit_ok = jnp.arange(MAX_BPS) < bps[cid][..., None]
+    return jnp.where(bit_ok, llr, 0.0).astype(jnp.float32)
+
+
+def _build_psk8_masks():
+    gray3 = [0, 1, 3, 2, 6, 7, 5, 4]  # symbol at ring position p
+    ang = 2 * np.pi * np.arange(8) / 8
+    cs = np.cos(ang).astype(np.float32)
+    sn = np.sin(ang).astype(np.float32)
+    bit = np.zeros((8, 3), dtype=bool)  # bit value of symbol at position p
+    for p, s in enumerate(gray3):
+        for k in range(3):
+            bit[p, k] = (s >> k) & 1
+    return cs, sn, bit
+
+
+_PSK8_COS, _PSK8_SIN, _PSK8_BIT = _build_psk8_masks()
+
+
+def _psk8_llrs(re: jax.Array, im: jax.Array) -> jax.Array:
+    """[..., 4] max-log LLRs for the Gray ring (bit 3 zero-padded)."""
+    cs = jnp.asarray(_PSK8_COS)
+    sn = jnp.asarray(_PSK8_SIN)
+    bit = jnp.asarray(_PSK8_BIT)  # [8, 3]
+    proj = re[..., None] * cs + im[..., None] * sn  # [..., n, 8]
+    p = proj[..., None]  # [..., n, 8, 1]
+    m0 = jnp.max(jnp.where(bit, -jnp.inf, p), axis=-2)  # [..., n, 3]
+    m1 = jnp.max(jnp.where(bit, p, -jnp.inf), axis=-2)
+    llr3 = 2.0 * (m0 - m1)
+    return jnp.concatenate([llr3, jnp.zeros_like(llr3[..., :1])], axis=-1)
+
+
+def soft_llrs_table(y: jax.Array, cnst_id: jax.Array,
+                    noise_var: jax.Array) -> jax.Array:
+    """Generic table-reduction max-log LLRs (the oracle for
+    :func:`soft_llrs`; same contract)."""
     bitvals = jnp.asarray(BIT_VALUES)  # [T, P, MAX_BPS]
     bps = jnp.asarray(BITS_PER_SYMBOL)
 

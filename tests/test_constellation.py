@@ -60,3 +60,51 @@ def test_min_distance_table():
     d = cn.min_distances()
     assert abs(d[int(cn.ConstellationType.BPSK)] - 2.0) < 1e-6
     assert abs(d[int(cn.ConstellationType.QAM16)] - 2.0 / np.sqrt(10)) < 1e-6
+
+
+def test_soft_llrs_closed_form_matches_table_oracle():
+    """The closed-form max-log slicers (soft_llrs) must agree with the
+    generic table reduction (soft_llrs_table) for every constellation,
+    mixed batches included — same subset-min distances, rearranged
+    algebraically."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gr_dtl_tpu.ops import constellation as cn
+
+    rng = np.random.RandomState(42)
+    B, n = 16, 64
+    cid = np.repeat([1, 2, 3, 4], 4).astype(np.int32)
+    y = (rng.randn(B, n) + 1j * rng.randn(B, n)).astype(np.complex64)
+    # include points near decision boundaries and far outside the grid
+    y[0, :8] = np.linspace(-3, 3, 8)
+    y[4, :8] = 1j * np.linspace(-3, 3, 8)
+    nv = np.full((B,), 0.31, np.float32)
+    got = np.asarray(cn.soft_llrs(jnp.asarray(y), jnp.asarray(cid),
+                                  jnp.asarray(nv)))
+    want = np.asarray(cn.soft_llrs_table(jnp.asarray(y), jnp.asarray(cid),
+                                         jnp.asarray(nv)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_soft_llrs_signs_recover_hard_decision():
+    """LLR signs must agree with the nearest-point slicer bits (max-log
+    LLR < 0 <=> nearest point has that bit = 1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gr_dtl_tpu.ops import constellation as cn
+
+    rng = np.random.RandomState(7)
+    for cid in (1, 2, 3, 4):
+        bps = int(cn.BITS_PER_SYMBOL[cid])
+        y = (rng.randn(256) + 1j * rng.randn(256)).astype(np.complex64)
+        llr = np.asarray(cn.soft_llrs(jnp.asarray(y[None]),
+                                      jnp.asarray([cid]),
+                                      jnp.asarray([0.1])))[0]
+        sym, _ = cn.nearest_point(jnp.asarray(y[None]), jnp.asarray([cid]))
+        sym = np.asarray(sym)[0]
+        for k in range(bps):
+            want = (sym >> k) & 1
+            got = (llr[:, k] < 0).astype(np.int64)
+            # ignore exact-boundary symbols (measure zero, llr == 0)
+            m = np.abs(llr[:, k]) > 1e-6
+            assert (got[m] == want[m]).all(), (cid, k)
