@@ -7,10 +7,17 @@ reporting funnels through these helpers so a transient transfer error
 never kills a run.  (The reference has no analog — its samples never
 leave host memory; this is the TPU-runtime equivalent of its defensive
 CRC gates, SURVEY.md §5 failure detection.)
+
+Outages on the dev tunnel can last minutes, not seconds, so the retry
+budget is configurable: ``GR_DTL_TPU_FETCH_TRIES`` (default 12) with
+exponential backoff from ``delay_s`` capped at 10 s per wait.  Long
+benches set a large budget and time with per-block medians so a stall
+doesn't corrupt the measurement.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -18,23 +25,27 @@ import numpy as np
 __all__ = ["fetch_np", "fetch_float"]
 
 
-def fetch_np(x, tries: int = 12, delay_s: float = 0.5) -> np.ndarray:
+def _tries(default: int) -> int:
+    return int(os.environ.get("GR_DTL_TPU_FETCH_TRIES", default))
+
+
+def _retry(fn, tries, delay_s):
+    delay = delay_s
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception:
+            if i == tries - 1:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 1.5, 10.0)
+
+
+def fetch_np(x, tries: int | None = None, delay_s: float = 0.5) -> np.ndarray:
     """np.asarray(x) with retries on transient transfer errors."""
-    for i in range(tries):
-        try:
-            return np.asarray(x)
-        except Exception:
-            if i == tries - 1:
-                raise
-            time.sleep(delay_s)
+    return _retry(lambda: np.asarray(x), tries or _tries(12), delay_s)
 
 
-def fetch_float(x, tries: int = 12, delay_s: float = 0.5) -> float:
+def fetch_float(x, tries: int | None = None, delay_s: float = 0.5) -> float:
     """float(x) with retries on transient transfer errors."""
-    for i in range(tries):
-        try:
-            return float(x)
-        except Exception:
-            if i == tries - 1:
-                raise
-            time.sleep(delay_s)
+    return _retry(lambda: float(x), tries or _tries(12), delay_s)

@@ -87,26 +87,30 @@ def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
     reps = -(-need // len(stream))
     s = np.tile(stream, reps)[:need]
 
-    n_ok = 0
     for i in range(warmup):
         out, valid = rx.process(s[i * B : (i + 1) * B])
-    t0 = time.monotonic()
+    # per-block timing with a median summary: the dev tunnel stalls for
+    # minutes at a time, and a single stalled readback must not corrupt
+    # the throughput figure (mean and max are reported alongside so a
+    # stall is visible, not hidden)
+    times = []
     for i in range(warmup, total):
+        t0 = time.monotonic()
         out, valid = rx.process(s[i * B : (i + 1) * B])
-        # the accounting fetch inside process() already syncs the step;
-        # count CRC passes on the final block only (off the clock for
-        # the rest — valid is fetched, crc_ok checked post-loop)
+        # the accounting fetch inside process() syncs the step
+        times.append(time.monotonic() - t0)
         if i == total - 1:
             last = (fetch_np(out.crc_ok) & valid)
-    dt = time.monotonic() - t0
     n_ok = int(last.sum())
-    samples = timed_blocks * B
+    med = float(np.median(times))
     return {
         "frames_per_block": frames_per_block,
         "block_samples": B,
         "timed_blocks": timed_blocks,
-        "msamples_per_s": samples / dt / 1e6,
-        "sec_per_block": dt / timed_blocks,
+        "msamples_per_s": B / med / 1e6,
+        "sec_per_block_median": med,
+        "sec_per_block_mean": float(np.mean(times)),
+        "sec_per_block_max": float(np.max(times)),
         "final_block_crc_ok": n_ok,
         "final_block_frames": int(valid.sum()),
     }
@@ -130,20 +134,21 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
         dpx.tx_b.send(rng.randint(0, 256, 64).astype(np.uint8).tobytes())
     for _ in range(warmup):
         r = dpx.step()
-    t0 = time.monotonic()
-    n = 0
+    times = []
     for _ in range(steps):
+        t0 = time.monotonic()
         r = dpx.step()
+        times.append(time.monotonic() - t0)
         assert r is not None
-        n += 1
-    dt = time.monotonic() - t0
+    med = float(np.median(times))
     # samples moved per step: one block each way
     spb = dpx.tx_a.block_samples + dpx.tx_b.block_samples
     return {
         "frames_per_block": frames_per_block,
-        "steps": n,
-        "msamples_per_s": n * spb / dt / 1e6,
-        "sec_per_step": dt / n,
+        "steps": steps,
+        "msamples_per_s": spb / med / 1e6,
+        "sec_per_step_median": med,
+        "sec_per_step_max": float(np.max(times)),
     }
 
 
