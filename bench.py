@@ -31,16 +31,20 @@ import time
 import numpy as np
 
 
-def _fetch(x, tries: int = 12) -> float:
-    """float(x) with retries: device->host reads over the axon tunnel
-    intermittently raise UNIMPLEMENTED; the value is fine on retry."""
+def _fetch(x, tries: int = 40) -> float:
+    """float(x) with retries + backoff: device->host reads over the axon
+    tunnel intermittently raise UNIMPLEMENTED (fine on retry), and the
+    tunnel occasionally stalls for minutes — the backoff rides that out
+    (40 tries x up to 10 s ~ 5.5 min budget)."""
+    delay = 0.5
     for i in range(tries):
         try:
             return float(x)
         except Exception:
             if i == tries - 1:
                 raise
-            time.sleep(0.5)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 10.0)
 
 
 def main():

@@ -185,9 +185,11 @@ def main():
         rows.append(r)
         print(json.dumps({"metric": "stream_rx_throughput", **r}), flush=True)
 
-    dpx = bench_duplex(txcfg, rxcfg, 16, args.duplex_steps)
-    print(json.dumps({"metric": "stream_duplex_throughput", **dpx}),
-          flush=True)
+    dpx = None
+    if args.duplex_steps > 0:
+        dpx = bench_duplex(txcfg, rxcfg, 16, args.duplex_steps)
+        print(json.dumps({"metric": "stream_duplex_throughput", **dpx}),
+              flush=True)
 
     best = max(rows, key=lambda r: r["msamples_per_s"])
     result = {
