@@ -113,3 +113,46 @@ def test_64_streams_pod_config():
     assert crc_ok.shape == (n_streams, frames_per_stream)
     assert crc_ok.all(), f"failures: {np.argwhere(~crc_ok)}"
     np.testing.assert_array_equal(np.asarray(out.payload), payload)
+
+
+def test_sharded_coded_loopback_exact_recovery():
+    """The full SPMD step with LDPC transport blocks: TX (FEC framer) +
+    channel + halo-exchanging RX with in-graph BP decode, sharded over
+    (stream, time) — every TB must recover exactly at comfortable SNR
+    (the coded counterpart of test_sharded_loopback_full_step)."""
+    from gr_dtl_tpu.models import fec_chain
+    from gr_dtl_tpu.utils import alist as alist_mod
+    import os
+
+    assert jax.device_count() >= 8
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0100_k_0027.alist"))
+    txcfg = cfgmod.make_tx_config(None, frame_length=4, fec=True)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=4, fec=True)
+    fec = fec_chain.build_fec(txcfg, H)
+    m = meshmod.make_mesh(n_stream=4, n_time=2)
+    fpb = 2
+    step, _ = pstream.build_sharded_loopback(
+        txcfg, rxcfg, m, frames_per_block=fpb, noise_v=0.01, fec=fec)
+
+    rng = np.random.RandomState(5)
+    S = 4
+    F = m.shape["time"] * fpb
+    cnst = np.full((S, F), 2, np.int32)
+    maxb = fec["max_payload_bytes"]
+    plen = np.full((S, F), int(fec["user_bytes_tab"][2]), np.int32)
+    payload = np.zeros((S, F, maxb), np.uint8)
+    for s in range(S):
+        for f in range(F):
+            payload[s, f, : plen[s, f]] = rng.randint(0, 256, plen[s, f])
+    out = step(jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+               np.tile(np.arange(F, dtype=np.int32), (S, 1)),
+               jax.random.PRNGKey(0))
+    assert np.asarray(out.header_ok).all()
+    assert np.asarray(out.crc_ok).all(), "coded sharded step failed CRC"
+    got = np.asarray(out.payload).reshape(S, F, -1)
+    for s in range(S):
+        for f in range(F):
+            L = plen[s, f]
+            assert (got[s, f, :L] == payload[s, f, :L]).all(), (s, f)
