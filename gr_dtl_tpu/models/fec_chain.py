@@ -46,10 +46,14 @@ from gr_dtl_tpu.ops import gf2, ldpc, repack
 
 # Bank-decoder form switch: banks up to this many codes take the dense
 # matmul-form BP (MXU-resident, n_codes x redundant FLOPs), larger
-# banks the gather form.  Default measured on the chip 2026-08-20
-# (tools/bench_bank_switch.py -> examples/bank_switch_bench.json);
-# override per deployment via env.
-BANK_MM_MAX_CODES = int(os.environ.get("GR_DTL_TPU_BANK_MM_MAX", "4"))
+# banks the gather form.  Measured on the chip 2026-08-20
+# (tools/bench_bank_switch.py -> examples/bank_switch_bench.json): the
+# mm form wins by ~150x at every bank size probed (1..32 copies of
+# n=300; gather ~588 ms vs mm 3.4-7.5 ms), so the TPU default is far
+# above any bank the reference ships (1-3 codes).  Override per
+# deployment via env if a future huge-bank workload finds the
+# crossover the gather form's bank-size-invariance promises.
+BANK_MM_MAX_CODES = int(os.environ.get("GR_DTL_TPU_BANK_MM_MAX", "32"))
 
 __all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut",
            "TbRing", "init_tb_state", "tb_reassemble", "decode_emitted"]
@@ -563,10 +567,10 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
         code_idx = jnp.repeat(fec_id, Cmax)
-        # small banks take the dense matmul-form decoder (MXU-resident;
-        # n_codes x redundant FLOPs beat the gather walks), big banks
-        # the gather form — measured crossover in
-        # examples/bank_switch_bench.json (BANK_MM_MAX_CODES to tune)
+        # banks up to BANK_MM_MAX_CODES take the dense matmul-form
+        # decoder (MXU-resident; no crossover found up to 32 codes on
+        # the chip — examples/bank_switch_bench.json), beyond it the
+        # bank-size-invariant gather form
         dec = (ldpc.decode_bank_mm if bank["n_codes"] <= BANK_MM_MAX_CODES
                else ldpc.decode_bank)
         bits, iters, ok = dec(
