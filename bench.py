@@ -48,9 +48,9 @@ def _fetch(x, tries: int = 40) -> float:
 
 
 def main():
-    # GR_DTL_TPU_PALLAS=1 swaps in the fused Schmidl-Cox Pallas kernel
-    # (measured +3-5% end to end; opt-in because running any Mosaic
-    # kernel makes this tunnel's device->host reads flaky)
+    # The fused Schmidl-Cox Pallas kernel is on by default (+18% at
+    # this batch size); if it wedges the tunnel's device->host reads,
+    # _run_with_pallas_fallback re-execs with GR_DTL_TPU_PALLAS=0
     import jax
     import jax.numpy as jnp
 
@@ -126,5 +126,31 @@ def main():
     }))
 
 
+def _run_with_pallas_fallback():
+    """Run the measurement; if device->host reads are wedged, re-exec
+    without the Pallas sync kernel.
+
+    On the axon dev tunnel, once a Mosaic/Pallas kernel has executed,
+    device->host reads can fail *persistently* (measured 2026-08-20: 60
+    retries over ~9 min, still UNIMPLEMENTED) — and the failure sticks
+    to the process's runtime client, so no in-process retry can recover.
+    ``os.execv`` replaces the process image (fresh tunnel client) with
+    ``GR_DTL_TPU_PALLAS=0`` pinned, trading the kernel's ~18% for a
+    guaranteed number.  On a directly-attached chip the fallback never
+    triggers."""
+    import os
+
+    try:
+        main()
+    except Exception:
+        if os.environ.get("GR_DTL_TPU_PALLAS") == "0":
+            raise  # already on the fallback path: a real failure
+        sys.stderr.write(
+            "bench.py: persistent device->host failure with the Pallas "
+            "kernel enabled; re-running with GR_DTL_TPU_PALLAS=0\n")
+        os.environ["GR_DTL_TPU_PALLAS"] = "0"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_pallas_fallback()

@@ -428,8 +428,8 @@ class StreamSimplex:
         if blk is None:
             return None
         samples, _info = blk
-        out, valid = self.rx.process(np.asarray(self.chan_fwd(samples)))
-        ok = np.asarray(out.header_ok) & valid
+        out, valid = self.rx.process(fetch_np(self.chan_fwd(samples)))
+        ok = fetch_np(out.header_ok) & valid
 
         # RX node: decision on decoded frames -> feedback burst
         rev = np.zeros(self.rev_block, np.complex64)
@@ -437,9 +437,9 @@ class StreamSimplex:
         if ok.any():
             self._fb, mcs_seq = self._fb_scan(
                 self._fb, out.snr_db, jnp.asarray(ok))
-            mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
+            mcs = int(fetch_np(mcs_seq)[np.nonzero(ok)[0][-1]])
             want = (int(self._cnst_of_mcs[mcs]), int(self._fec_of_mcs[mcs]))
-            wave = np.asarray(self._burst_fn(
+            wave = fetch_np(self._burst_fn(
                 jnp.asarray([want[0]], jnp.int32),
                 jnp.asarray([want[1]], jnp.int32)))[0]
             off = self._rng.randint(0, self.rev_block - len(wave))
@@ -447,12 +447,12 @@ class StreamSimplex:
 
         # TX node: scan the (lossy) reverse capture, apply the last
         # decodable burst (ref framer.process_feedback:88-109)
-        bout = self.brx.process(np.asarray(self.chan_rev(rev)))
-        okb = np.asarray(bout.ok)
+        bout = self.brx.process(fetch_np(self.chan_rev(rev)))
+        okb = fetch_np(bout.ok)
         applied = None
         if okb.any():
             i = int(np.nonzero(okb)[0][-1])
-            applied = int(np.asarray(bout.cnst_id)[i])
+            applied = int(fetch_np(bout.cnst_id)[i])
             self.tx.set_feedback(applied)
         return {"rx": out, "ok": ok, "want": want, "applied": applied,
                 "n_bursts": int(okb.sum())}
@@ -513,16 +513,16 @@ class StreamDuplex:
         if blk is None:
             return None, fb_state, None
         samples, _info = blk
-        out, valid = rx.process(np.asarray(chan(samples)))
-        ok = np.asarray(out.header_ok) & valid
+        out, valid = rx.process(fetch_np(chan(samples)))
+        ok = fetch_np(out.header_ok) & valid
         # adaptation: decisions only on decoded frames (ref: feedback
         # comes from the equalizer only when a frame was received)
         echo_mcs = None
         if ok.any():
             fb_state, mcs_seq = fb_scan(fb_state, out.snr_db, jnp.asarray(ok))
-            echo_mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
+            echo_mcs = int(fetch_np(mcs_seq)[np.nonzero(ok)[0][-1]])
         # last valid decoded echo steers this node's peer
-        echoes = np.asarray(out.feedback_cnst)[ok]
+        echoes = fetch_np(out.feedback_cnst)[ok]
         peer_req = int(echoes[-1]) if echoes.size else None
         return out, fb_state, {"echo_mcs": echo_mcs, "peer_req": peer_req,
                                "n_ok": int(ok.sum())}

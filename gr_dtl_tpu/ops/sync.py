@@ -102,8 +102,12 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     (2026-08-20, batch x frame_samples streams): 125 vs 123 Ms/s at
     256 frames, 177 vs 168 at 512, 231 vs 195 at 2048 (+18%) — the
     kernel wins at every batch size, growing with stream length.
-    ``GR_DTL_TPU_PALLAS=0`` forces the jnp path (escape hatch: Mosaic
-    kernels make *this dev tunnel's* device->host reads need retries).
+    ``GR_DTL_TPU_PALLAS=0`` forces the jnp path.  Escape hatch: on
+    *this dev tunnel* (not a TPU property), once any Mosaic kernel has
+    executed, device->host reads can fail persistently — host loops
+    that read back every block (session.StreamRx et al.) and
+    tools/bench_stream.py pin =0 there; bench.py re-execs itself with
+    =0 if its end-of-run fetch wedges.
 
     Args:
       r: [..., N] complex64 stream.

@@ -153,6 +153,14 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
 
 
 def main():
+    # The host-loop session reads accounting scalars back EVERY block;
+    # on the dev tunnel, once any Mosaic/Pallas kernel has run in the
+    # process, device->host reads fail persistently (measured: 60
+    # retries over ~9 min, still UNIMPLEMENTED) — so this bench pins
+    # the jnp sync path unless the caller explicitly overrides.  On a
+    # directly-attached chip set GR_DTL_TPU_PALLAS=1 to measure the
+    # fused kernel in the loop.
+    os.environ.setdefault("GR_DTL_TPU_PALLAS", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--frame-length", type=int, default=20)
     ap.add_argument("--blocks", type=int, default=12,
