@@ -529,14 +529,20 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         # than the BP decode itself on chip.
         maxF = llrs.shape[1]
         jj = np.arange(n, dtype=np.int32)[None, :]
-        cw_llrs = jnp.full((G, Cmax, n), ldpc.SHORTENED_LLR, llrs.dtype)
+        # one [4, C, n] constant table per quantity, a cheap bps-indexed
+        # row pick, then a SINGLE [G, C*n] gather — replaces four
+        # full-size gathers + four selects (one per bps variant), which
+        # were ~4x the necessary gather volume on chip
+        pos_tab = np.zeros((5, Cmax, n), np.int32)
+        sent_tab = np.zeros((5, Cmax, n), bool)
         for kb in range(1, 5):
             s = _static_schedule(fec, kb)
-            pos = np.clip(s["cw_start"][:, None] + jj, 0, maxF - 1)
-            sent = jj < m + s["k_prime"][:, None]
-            v = llrs[:, jnp.asarray(pos)]  # [G, C, n] static-index gather
-            v = jnp.where(jnp.asarray(sent)[None], v, ldpc.SHORTENED_LLR)
-            cw_llrs = jnp.where((bps == kb)[:, None, None], v, cw_llrs)
+            pos_tab[kb] = np.clip(s["cw_start"][:, None] + jj, 0, maxF - 1)
+            sent_tab[kb] = jj < m + s["k_prime"][:, None]
+        pos = jnp.asarray(pos_tab)[bps]    # [G, C, n]
+        sent = jnp.asarray(sent_tab)[bps]  # [G, C, n]
+        v = jnp.take_along_axis(llrs, pos.reshape(G, Cmax * n), axis=1)
+        cw_llrs = jnp.where(sent, v.reshape(G, Cmax, n), ldpc.SHORTENED_LLR)
 
         bits, iters, ok = ldpc.decode_mm(
             cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
@@ -559,11 +565,10 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
         sent = jnp.where(is_par, p < m_b, tsys < kp) & sched["real"][:, :, None]
         off = sched["cw_start"][:, :, None] + jnp.where(is_par, p, m_b + tsys)
         pos = jnp.clip(off, 0, llrs.shape[1] - 1)
+        # fold the codeword axis into the gather index instead of
+        # materializing a [G, Cmax, maxF] repeat of the LLR rows
         cw_llrs = jnp.take_along_axis(
-            llrs[:, None, :].repeat(Cmax, axis=1).reshape(G * Cmax, -1),
-            jnp.broadcast_to(pos, (G, Cmax, Nmax)).reshape(G * Cmax, Nmax),
-            axis=1,
-        ).reshape(G, Cmax, Nmax)
+            llrs, pos.reshape(G, Cmax * Nmax), axis=1).reshape(G, Cmax, Nmax)
         cw_llrs = jnp.where(sent, cw_llrs, ldpc.SHORTENED_LLR)
 
         code_idx = jnp.repeat(fec_id, Cmax)
@@ -592,18 +597,24 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     if fec_id is None:
         # static per-bps inverse maps (payload bit p -> (codeword, offset)),
         # selected per frame — a gather instead of the scatter below
+        # same single-gather trick as the extraction above: constant
+        # [5, maxP] inverse-map tables picked by bps, then ONE gather
+        # from the flattened sys bits (was 4 gathers + 4 selects)
         pp = np.arange(maxP, dtype=np.int32)
-        tb_bits = jnp.zeros((G, maxP), jnp.int32)
+        src_tab = np.zeros((5, maxP), np.int32)
+        valid_tab = np.zeros((5, maxP), bool)
         for kb in range(1, 5):
             s = _static_schedule(fec, kb)
             ends = np.cumsum(s["k_prime"])
             cw_of_p = np.minimum(
                 np.searchsorted(ends, pp, side="right"), Cmax - 1)
             off = np.clip(pp - s["sys_start"][cw_of_p], 0, k_sys - 1)
-            valid = pp < s["payload_bits"]
-            v = sys_bits[:, jnp.asarray(cw_of_p), jnp.asarray(off)]
-            v = jnp.where(jnp.asarray(valid)[None], v, 0)
-            tb_bits = jnp.where((bps == kb)[:, None], v, tb_bits)
+            src_tab[kb] = cw_of_p * k_sys + off
+            valid_tab[kb] = pp < s["payload_bits"]
+        src = jnp.asarray(src_tab)[bps]      # [G, maxP]
+        vmask = jnp.asarray(valid_tab)[bps]  # [G, maxP]
+        v = jnp.take_along_axis(sys_bits.reshape(G, Cmax * k_sys), src, axis=1)
+        tb_bits = jnp.where(vmask, v, 0)
     else:
         t = jnp.arange(k_sys, dtype=jnp.int32)[None, None, :]
         take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]

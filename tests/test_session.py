@@ -276,3 +276,63 @@ def test_stream_duplex_adaptation():
     assert dpx.tx_a.constellation > int(cn.ConstellationType.BPSK)
     # B->A at 5 dB: A keeps requesting BPSK
     assert dpx.tx_b.constellation == int(cn.ConstellationType.BPSK)
+
+
+def test_stream_rx_pipelined_matches_plain():
+    """StreamRxPipelined(depth=3) output is bit-identical to StreamRx,
+    shifted by depth-1 blocks (only the HOST readback is deferred; the
+    device-side state chain is the same)."""
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    F = 4
+    n_blocks = 6
+    B = F * n_blocks
+    rng = np.random.RandomState(7)
+    cnst = rng.randint(1, 5, size=B).astype(np.int32)
+    maxb = txcfg.max_frame_bytes()
+    payload = np.zeros((B, maxb), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for i in range(B):
+        plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    rx = session.StreamRx(cfg, frames_per_block=F)
+    S = rx.block_samples
+    stream = np.concatenate([
+        np.zeros(137, np.complex64),
+        np.asarray(out.samples).reshape(-1),
+        np.zeros((n_blocks + 1) * S, np.complex64),
+    ])[: (n_blocks + 1) * S]
+    sig = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(1), jnp.asarray(stream),
+        float(np.sqrt(sig / 10**3))))
+
+    prx = session.StreamRxPipelined(cfg, frames_per_block=F, depth=3)
+    plain, piped = [], []
+    for b in range(n_blocks + 1):
+        chunk = stream[b * S : (b + 1) * S]
+        plain.append(rx.process(chunk))
+        r = prx.process(chunk)
+        if r is not None:
+            piped.append(r)
+    piped.extend(prx.drain())
+
+    assert len(piped) == len(plain)
+    n_ok = 0
+    for (o_a, v_a), (o_b, v_b) in zip(plain, piped):
+        np.testing.assert_array_equal(v_a, v_b)
+        np.testing.assert_array_equal(np.asarray(o_a.crc_ok),
+                                      np.asarray(o_b.crc_ok))
+        np.testing.assert_array_equal(np.asarray(o_a.frame_no),
+                                      np.asarray(o_b.frame_no))
+        np.testing.assert_array_equal(np.asarray(o_a.payload),
+                                      np.asarray(o_b.payload))
+        n_ok += int((np.asarray(o_a.crc_ok) & v_a).sum())
+    assert n_ok == B
+    assert rx.n_frames == prx.n_frames and rx.n_lost == prx.n_lost

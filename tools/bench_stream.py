@@ -77,42 +77,68 @@ def _make_stream_here(txcfg, n_frames, seed=0):
 
 
 def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
-                    warmup=3):
+                    warmup=3, depth=1):
+    """depth=1: plain StreamRx (every block's readback serializes the
+    loop).  depth>1: StreamRxPipelined — readback of block k overlaps
+    block k+1's compute; sustained throughput is wall-clock over the
+    whole timed region (per-call medians are meaningless when calls
+    alternate dispatch-only and fetch)."""
     from gr_dtl_tpu.models import session
 
-    rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
+    if depth > 1:
+        rx = session.StreamRxPipelined(
+            rxcfg, frames_per_block=frames_per_block, depth=depth)
+    else:
+        rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
     B = rx.block_samples
     total = warmup + timed_blocks
     need = total * B
     reps = -(-need // len(stream))
     s = np.tile(stream, reps)[:need]
 
+    results = []
     for i in range(warmup):
-        out, valid = rx.process(s[i * B : (i + 1) * B])
+        r = rx.process(s[i * B : (i + 1) * B])
+        if r is not None:
+            results.append(r)
     # per-block timing with a median summary: the dev tunnel stalls for
     # minutes at a time, and a single stalled readback must not corrupt
     # the throughput figure (mean and max are reported alongside so a
     # stall is visible, not hidden)
     times = []
+    results = []
+    t_region = time.monotonic()
     for i in range(warmup, total):
         t0 = time.monotonic()
-        out, valid = rx.process(s[i * B : (i + 1) * B])
-        # the accounting fetch inside process() syncs the step
+        r = rx.process(s[i * B : (i + 1) * B])
+        # plain: the accounting fetch inside process() syncs the step;
+        # pipelined: the fetch is for an older block (overlap)
         times.append(time.monotonic() - t0)
-        if i == total - 1:
-            last = (fetch_np(out.crc_ok) & valid)
-    n_ok = int(last.sum())
+        if r is not None:
+            results.append(r)
+    if depth > 1:
+        results.extend(rx.drain())
+    elapsed = time.monotonic() - t_region
+    last_out, last_valid = results[-1]
+    n_ok = int((fetch_np(last_out.crc_ok) & last_valid).sum())
     med = float(np.median(times))
+    # plain mode: median per block is the stall-robust estimator.
+    # pipelined mode: calls alternate dispatch-only/fetch, so only the
+    # whole-region wall clock is meaningful.
+    msps = (B / med if depth == 1
+            else timed_blocks * B / elapsed) / 1e6
     return {
         "frames_per_block": frames_per_block,
+        "pipeline_depth": depth,
         "block_samples": B,
         "timed_blocks": timed_blocks,
-        "msamples_per_s": B / med / 1e6,
+        "msamples_per_s": msps,
         "sec_per_block_median": med,
         "sec_per_block_mean": float(np.mean(times)),
         "sec_per_block_max": float(np.max(times)),
+        "region_elapsed_s": elapsed,
         "final_block_crc_ok": n_ok,
-        "final_block_frames": int(valid.sum()),
+        "final_block_frames": int(last_valid.sum()),
     }
 
 
@@ -187,11 +213,14 @@ def main():
     stream = _make_stream(txcfg, 256)
     rows = []
     for fpb in (int(x) for x in args.sizes.split(",")):
-        r = bench_stream_rx(rxcfg, stream, fpb, args.blocks)
-        assert r["final_block_crc_ok"] == r["final_block_frames"], (
-            "CRC failures in the streamed decode")
-        rows.append(r)
-        print(json.dumps({"metric": "stream_rx_throughput", **r}), flush=True)
+        for depth in (1, 2):
+            r = bench_stream_rx(rxcfg, stream, fpb, args.blocks,
+                                depth=depth)
+            assert r["final_block_crc_ok"] == r["final_block_frames"], (
+                "CRC failures in the streamed decode")
+            rows.append(r)
+            print(json.dumps({"metric": "stream_rx_throughput", **r}),
+                  flush=True)
 
     dpx = None
     if args.duplex_steps > 0:
