@@ -60,9 +60,22 @@ class StreamRx:
         periods (the constructor exposes ``block_samples``).
     """
 
-    def __init__(self, cfg, frames_per_block: int = 16, fec=None):
+    def __init__(self, cfg, frames_per_block: int = 16, fec=None,
+                 probe=None):
         self.cfg = cfg
         self.F = frames_per_block
+        # optional continuous telemetry: a testbed.monitor.MonitorProbe
+        # (or anything with .send(bytes)); every processed block
+        # publishes one MonitorEqMsg per received frame, mirroring the
+        # reference's always-on monitor attachment
+        # (ofdm_adaptive_frame_equalizer_vcvc_impl.cc:210-216)
+        self.probe = probe
+        self._eq_builder = None
+        if probe is not None:
+            from gr_dtl_tpu.testbed import monitor as _mon
+
+            self._mon = _mon
+            self._eq_builder = _mon.MonitorProto(_mon.EQ_MSG)
         self.P = cfg.frame_samples
         self.block_samples = self.F * self.P
         # tail: enough history to finish a frame that starts near the
@@ -191,9 +204,15 @@ class StreamRx:
         a = fetch_np(acct)
         self.n_lost += int(a[0])
         self.n_frames += int(a[0]) + int(a[1])
+        valid = fetch_np(valid)
+        if self.probe is not None:
+            ok = fetch_np(out.header_ok) & valid
+            msgs = self._mon.eq_messages(out, self.lost_frame_rate)
+            for i in np.nonzero(ok)[0]:
+                self.probe.send(self._eq_builder.build(msgs[int(i)]))
         if self._use_tb:
-            return out, fetch_np(valid), tb_out
-        return out, fetch_np(valid)
+            return out, valid, tb_out
+        return out, valid
 
     def flush_tb(self):
         """Emit the in-progress transport block (end of stream) —

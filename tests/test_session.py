@@ -336,3 +336,54 @@ def test_stream_rx_pipelined_matches_plain():
         n_ok += int((np.asarray(o_a.crc_ok) & v_a).sum())
     assert n_ok == B
     assert rx.n_frames == prx.n_frames and rx.n_lost == prx.n_lost
+
+
+def test_stream_rx_monitor_probe():
+    """A probe-equipped StreamRx publishes one parseable MonitorEqMsg
+    per received frame, continuously across blocks (ref always-on
+    monitor attachment, frame_equalizer_vcvc_impl.cc:210-216)."""
+    from gr_dtl_tpu.testbed import monitor
+
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    F = 4
+    n_blocks = 3
+    B = F * n_blocks
+    rng = np.random.RandomState(3)
+    cnst = rng.randint(1, 5, size=B).astype(np.int32)
+    maxb = txcfg.max_frame_bytes()
+    payload = np.zeros((B, maxb), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for i in range(B):
+        plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    probe = monitor.MonitorProbe(address=None)  # capture mode
+    rx = session.StreamRx(cfg, frames_per_block=F, probe=probe)
+    S = rx.block_samples
+    stream = np.asarray(out.samples).reshape(-1)
+    stream = np.pad(stream, (0, n_blocks * S - len(stream) % (n_blocks * S)))
+    sig = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(1), jnp.asarray(stream),
+        float(np.sqrt(sig / 10**3))))
+    n_rx = 0
+    for b in range(len(stream) // S):
+        outb, valid = rx.process(stream[b * S : (b + 1) * S])
+        n_rx += int((np.asarray(outb.header_ok) & valid).sum())
+    assert n_rx == B
+    assert len(probe.captured) == B
+    parser = monitor.MonitorParser()
+    seen_counters = []
+    for blob in probe.captured:
+        d = parser.parse(blob)
+        assert d["proto_id"] == monitor.EQ_MSG
+        assert d["constellation_key"] in (1, 2, 3, 4)
+        assert -10.0 < d["estimated_snr_tag_key"] < 60.0
+        seen_counters.append(d["sent_counter"])
+    assert seen_counters == list(range(1, B + 1))
