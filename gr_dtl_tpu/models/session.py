@@ -265,8 +265,8 @@ class StreamRxPipelined(StreamRx):
     """
 
     def __init__(self, cfg, frames_per_block: int = 16, fec=None,
-                 depth: int = 2):
-        super().__init__(cfg, frames_per_block, fec)
+                 probe=None, depth: int = 2):
+        super().__init__(cfg, frames_per_block, fec, probe=probe)
         self.depth = max(1, int(depth))
         self._inflight: list[tuple] = []
 

@@ -112,3 +112,59 @@ def test_loopback_cli_on_chip():
     assert res.returncode == 0, res.stderr[-2000:]
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["crc_ok_rate"] == 1.0
+
+
+def test_stream_daemon_cli(tmp_path):
+    """The always-on RX daemon over a file source: decodes a capture,
+    writes a scoreable frame store, pipelined readback gives identical
+    counts (run_modem stream — the deployment entry point)."""
+    import numpy as np
+
+    cap = tmp_path / "capture.c64"
+    script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.models import transmitter
+from gr_dtl_tpu.ops import channel, constellation as cn
+
+txcfg = cfgmod.make_tx_config(None, frame_length=10)
+txp = transmitter.build_tx(txcfg)
+B = 8
+rng = np.random.RandomState(5)
+maxb = txcfg.max_frame_bytes()
+cnst = rng.randint(1, 5, B).astype(np.int32)
+payload = np.zeros((B, maxb), np.uint8)
+plen = np.zeros(B, np.int32)
+for i in range(B):
+    plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+    payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+out = transmitter.tx_frames(txp, jnp.asarray(payload), jnp.asarray(plen),
+    jnp.asarray(cnst), jnp.zeros(B, jnp.int32),
+    jnp.arange(B, dtype=jnp.int32), jax.random.PRNGKey(3))
+stream = np.asarray(out.samples).reshape(-1)
+stream = np.concatenate([np.zeros(101, np.complex64), stream])
+rng2 = np.random.RandomState(12)
+stream = stream + 0.01 * (rng2.randn(len(stream)) + 1j * rng2.randn(len(stream))) / np.sqrt(2)
+stream.astype(np.complex64).tofile({str(cap)!r})
+"""
+    subprocess.run([sys.executable, "-c", script], check=True, cwd=HERE,
+                   timeout=420)
+    rx_store = tmp_path / "rx.dat"
+    out = _run([
+        "tools/run_modem.py", "stream", "--source", f"file:{cap}",
+        "--frame-length", "10", "--frames-per-block", "4", "--json",
+        "--store-rx", str(rx_store),
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["frames_crc_ok"] == 8
+    assert rx_store.stat().st_size > 0
+
+    out2 = _run([
+        "tools/run_modem.py", "stream", "--source", f"file:{cap}",
+        "--frame-length", "10", "--frames-per-block", "4", "--json",
+        "--pipeline-depth", "3",
+    ])
+    res2 = json.loads(out2.strip().splitlines()[-1])
+    assert res2["frames_crc_ok"] == 8
+    assert res2["blocks"] == res["blocks"]

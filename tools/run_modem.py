@@ -7,6 +7,9 @@ Modes:
                (ofdm_adaptive_example.grc analog), optional LDPC FEC
   full-duplex  two nodes, in-band MCS adaptation session
   simplex      OFDM forward + feedback-burst reverse session
+  stream       always-on RX daemon over a c64 sample source
+               (file/FIFO/TCP), optional pipelined readback + ZMQ
+               telemetry + frame store
 
 Examples:
   run_modem.py loopback --config examples/config.json --frames 64 --snr-db 25
@@ -195,6 +198,135 @@ def run_simplex(args):
     _report(args, res)
 
 
+def run_stream(args):
+    """Always-on receiver daemon: complex64 samples in (file / FIFO /
+    TCP), decoded frames + telemetry out — the deployment entry point
+    for the streaming session (the reference's ``ofdm_adaptive_rx``
+    flowgraph running forever under grc_run, ofdm_receiver.py:59-246).
+
+    ``--source`` spec:
+      file:PATH      replay a capture (``--loop N`` to repeat it)
+      fifo:PATH      read a named pipe
+      tcp:HOST:PORT  connect to a sample server (e.g. tools/sample_link
+                     TX, an SDR bridge, or another run_modem)
+    """
+    jax = _platform(args)
+    import time as _time
+
+    from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
+    from gr_dtl_tpu.models import fec_chain, session
+    from gr_dtl_tpu.testbed import sample_io
+
+    rxcfg = cfgmod.make_rx_config(args.config, frame_length=args.frame_length)
+    fec = None
+    if rxcfg.fec:
+        fec = fec_chain.build_fec(
+            rxcfg, [alist_mod.load_alist(p) for _, p in rxcfg.fec_codes])
+
+    probe = None
+    if args.zmq:
+        from gr_dtl_tpu.testbed import monitor
+
+        probe = monitor.MonitorProbe(args.zmq)
+    if args.pipeline_depth > 1:
+        rx = session.StreamRxPipelined(
+            rxcfg, frames_per_block=args.frames_per_block, fec=fec,
+            probe=probe, depth=args.pipeline_depth)
+    else:
+        rx = session.StreamRx(rxcfg, frames_per_block=args.frames_per_block,
+                              fec=fec, probe=probe)
+    S = rx.block_samples
+
+    kind, _, rest = args.source.partition(":")
+    endpoint = None
+    if kind == "file":
+        data = np.fromfile(rest, np.complex64)
+        if len(data) == 0:
+            sys.exit(f"error: empty capture {rest!r}")
+        data = np.tile(data, max(1, args.loop))
+        pad = (-len(data)) % S
+        data = np.pad(data, (0, pad))
+
+        def blocks():
+            for b in range(len(data) // S):
+                yield data[b * S : (b + 1) * S]
+
+        src_close = lambda: None
+    elif kind in ("fifo", "tcp"):
+        if kind == "fifo":
+            source = sample_io.fifo_source(rest)
+        else:
+            host, _, port = rest.rpartition(":")
+            endpoint = sample_io.connect(host or "127.0.0.1", int(port))
+            source = endpoint.source
+
+        def blocks():
+            while True:
+                chunk = source.read(S)
+                if len(chunk) == 0:
+                    return
+                if len(chunk) < S:  # EOF: pad the final partial block
+                    chunk = np.pad(chunk, (0, S - len(chunk)))
+                    yield chunk
+                    return
+                yield chunk
+
+        src_close = (endpoint.close if endpoint is not None
+                     else source.close)
+    else:
+        sys.exit(f"error: unknown --source kind {kind!r} "
+                 "(use file:, fifo:, or tcp:host:port)")
+
+    store = None
+    if args.store_rx:
+        from gr_dtl_tpu.testbed.frame_store import FrameStore
+
+        store = FrameStore(args.store_rx)
+
+    n_blocks = n_hdr = n_crc = 0
+
+    def consume(r):
+        # count/store per result as it lands — a daemon must not hold
+        # every block's device buffers until shutdown
+        nonlocal n_hdr, n_crc
+        out, valid = r[0], r[1]
+        ok = fetch_np(out.header_ok) & valid
+        n_hdr += int(ok.sum())
+        n_crc += int((fetch_np(out.crc_ok) & valid).sum())
+        if store is not None:
+            store.store_batch(out)
+
+    t0 = _time.monotonic()
+    try:
+        for chunk in blocks():
+            r = rx.process(chunk)
+            n_blocks += 1
+            if r is not None:
+                consume(r)
+            if args.max_blocks and n_blocks >= args.max_blocks:
+                break
+        if args.pipeline_depth > 1:
+            for r in rx.drain():
+                consume(r)
+    finally:
+        elapsed = _time.monotonic() - t0
+        src_close()
+        if store is not None:
+            store.close()
+        if probe is not None:
+            probe.close()
+    _report(args, {
+        "mode": "stream",
+        "blocks": n_blocks,
+        "samples": n_blocks * S,
+        "frames_header_ok": n_hdr,
+        "frames_crc_ok": n_crc,
+        "lost_frame_rate": rx.lost_frame_rate,
+        "msamples_per_s": n_blocks * S / elapsed / 1e6,
+        "pipeline_depth": args.pipeline_depth,
+    })
+
+
 def _summarize(rx, B):
     from gr_dtl_tpu.ops import metrics
 
@@ -255,7 +387,19 @@ def _report(args, res):
 def main():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("mode", choices=["loopback", "full-duplex", "simplex"])
+    p.add_argument("mode", choices=["loopback", "full-duplex", "simplex",
+                                    "stream"])
+    p.add_argument("--source", default=None,
+                   help="stream mode: file:PATH | fifo:PATH | "
+                        "tcp:HOST:PORT sample input")
+    p.add_argument("--loop", type=int, default=1,
+                   help="stream mode: replay a file: source N times")
+    p.add_argument("--frames-per-block", type=int, default=16)
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="stream mode: >1 overlaps readback with compute "
+                        "(StreamRxPipelined)")
+    p.add_argument("--max-blocks", type=int, default=0,
+                   help="stream mode: stop after N blocks (0 = until EOF)")
     p.add_argument("--config", default=None, help="JSON config file")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--rounds", type=int, default=32)
@@ -296,8 +440,10 @@ def main():
                 base = json.load(f)
         base.update(overrides)
         args.config = base  # make_*_config accepts a dict
+    if args.mode == "stream" and not args.source:
+        sys.exit("error: stream mode requires --source")
     {"loopback": run_loopback, "full-duplex": run_full_duplex,
-     "simplex": run_simplex}[args.mode](args)
+     "simplex": run_simplex, "stream": run_stream}[args.mode](args)
 
 
 if __name__ == "__main__":
