@@ -387,3 +387,35 @@ def test_stream_rx_monitor_probe():
         assert -10.0 < d["estimated_snr_tag_key"] < 60.0
         seen_counters.append(d["sent_counter"])
     assert seen_counters == list(range(1, B + 1))
+
+
+def test_stream_tx_pacing():
+    """pace=True holds next_block to the wall-clock rate of
+    cfg.sample_rate (ref ofdm_adaptive_frame_bb_impl.cc sleep_until
+    pacing): emitting N blocks takes at least (N-1) block durations,
+    and unpaced emission is measurably faster."""
+    import time
+
+    txcfg = cfgmod.make_tx_config(
+        {"sample_rate": 200_000}, frame_length=6)
+    tx = session.StreamTx(txcfg, frames_per_block=2, pace=True)
+    rng = np.random.RandomState(0)
+    for _ in range(16):
+        tx.send(rng.randint(0, 256, 24).astype(np.uint8).tobytes())
+    blk_dt = tx.block_samples / 200_000
+    tx.next_block()  # first block sets the clock (compile excluded)
+    t0 = time.monotonic()
+    for _ in range(4):
+        assert tx.next_block() is not None
+    paced = time.monotonic() - t0
+    assert paced >= 4 * blk_dt * 0.85, (paced, blk_dt)
+
+    tx2 = session.StreamTx(txcfg, frames_per_block=2, pace=False)
+    for _ in range(16):
+        tx2.send(rng.randint(0, 256, 24).astype(np.uint8).tobytes())
+    tx2.next_block()
+    t0 = time.monotonic()
+    for _ in range(4):
+        assert tx2.next_block() is not None
+    unpaced = time.monotonic() - t0
+    assert unpaced < paced
