@@ -221,7 +221,8 @@ def run_stream(args):
     fec = None
     if rxcfg.fec:
         fec = fec_chain.build_fec(
-            rxcfg, [alist_mod.load_alist(p) for _, p in rxcfg.fec_codes])
+            rxcfg, [alist_mod.load_alist(p) for _, p in rxcfg.fec_codes],
+            tb_frames=args.tb_frames)
 
     probe = None
     if args.zmq:
@@ -284,6 +285,17 @@ def run_stream(args):
         store = FrameStore(args.store_rx)
 
     n_blocks = n_hdr = n_crc = 0
+    n_tb = n_tb_ok = 0
+
+    def consume_tb(tb):
+        # multi-frame transport blocks completed within a block
+        # (loss-resilient reassembly; ref tb_decoder.cc:90-138)
+        nonlocal n_tb, n_tb_ok
+        if tb is None:
+            return
+        tb_valid = fetch_np(tb["valid"])
+        n_tb += int(tb_valid.sum())
+        n_tb_ok += int((fetch_np(tb["crc_ok"]) & tb_valid).sum())
 
     def consume(r):
         # count/store per result as it lands — a daemon must not hold
@@ -293,6 +305,8 @@ def run_stream(args):
         ok = fetch_np(out.header_ok) & valid
         n_hdr += int(ok.sum())
         n_crc += int((fetch_np(out.crc_ok) & valid).sum())
+        if len(r) > 2:
+            consume_tb(r[2])
         if store is not None:
             store.store_batch(out)
 
@@ -308,6 +322,7 @@ def run_stream(args):
         if args.pipeline_depth > 1:
             for r in rx.drain():
                 consume(r)
+        consume_tb(rx.flush_tb())  # end-of-stream TB tail (ref tb flush)
     finally:
         elapsed = _time.monotonic() - t0
         src_close()
@@ -315,7 +330,7 @@ def run_stream(args):
             store.close()
         if probe is not None:
             probe.close()
-    _report(args, {
+    res = {
         "mode": "stream",
         "blocks": n_blocks,
         "samples": n_blocks * S,
@@ -324,7 +339,11 @@ def run_stream(args):
         "lost_frame_rate": rx.lost_frame_rate,
         "msamples_per_s": n_blocks * S / elapsed / 1e6,
         "pipeline_depth": args.pipeline_depth,
-    })
+    }
+    if args.tb_frames > 1:
+        res["tb_emitted"] = n_tb
+        res["tb_crc_ok"] = n_tb_ok
+    _report(args, res)
 
 
 def _summarize(rx, B):
@@ -400,6 +419,9 @@ def main():
                         "(StreamRxPipelined)")
     p.add_argument("--max-blocks", type=int, default=0,
                    help="stream mode: stop after N blocks (0 = until EOF)")
+    p.add_argument("--tb-frames", type=int, default=1,
+                   help="stream mode: frames per transport block (FEC "
+                        "configs; >1 enables streaming TB reassembly)")
     p.add_argument("--config", default=None, help="JSON config file")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--rounds", type=int, default=32)
