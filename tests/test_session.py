@@ -419,3 +419,55 @@ def test_stream_tx_pacing():
         assert tx2.next_block() is not None
     unpaced = time.monotonic() - t0
     assert unpaced < paced
+
+
+def test_stream_simplex_soak_fading_sfo():
+    """Soak: an always-on simplex session survives 30 steps of Rayleigh
+    selective fading + ±20 ppm clock drift + AWGN on the forward link
+    and a lossy reverse link — adaptation keeps converging, counters
+    stay consistent, nothing wedges (the deployment robustness case the
+    reference's always-on flowgraphs live in)."""
+    txcfg = cfgmod.make_tx_config(None, frame_length=6)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=6)
+    keys = iter(jax.random.split(jax.random.PRNGKey(42), 400))
+
+    def chan_fwd(s):
+        s = jnp.asarray(s)
+        s = channel.selective_fading(next(keys), s, doppler_norm=3e-5)
+        s = channel.sample_clock_offset(s, 20.0)
+        sig = jnp.sqrt(jnp.mean(jnp.abs(s) ** 2) + 1e-12)
+        return channel.awgn(next(keys), s, 0.05 * sig)
+
+    drop = iter(np.random.RandomState(3).rand(400))
+
+    def chan_rev(s):
+        # bursty reverse loss: 30% of blocks are silence
+        if next(drop) < 0.3:
+            return np.zeros_like(np.asarray(s))
+        return channel.awgn(next(keys), jnp.asarray(s), 0.05)
+
+    sx = session.StreamSimplex(txcfg, rxcfg, chan_fwd, chan_rev,
+                               frames_per_block=4, seed=1)
+    rng = np.random.RandomState(1)
+    for _ in range(150):
+        sx.tx.send(rng.randint(0, 256, 32).astype(np.uint8).tobytes())
+
+    steps = 0
+    n_applied = 0
+    decoded_steps = 0
+    for _ in range(30):
+        r = sx.step()
+        if r is None:
+            break
+        steps += 1
+        if r["applied"] is not None:
+            n_applied += 1
+        if r["ok"].any():
+            decoded_steps += 1
+    assert steps == 30
+    # the impaired link still carries frames most of the time and the
+    # feedback loop still closes through the lossy reverse channel
+    assert decoded_steps >= 20, decoded_steps
+    assert n_applied >= 5, n_applied
+    assert sx.rx.n_frames > 0
+    assert 0.0 <= sx.rx.lost_frame_rate < 0.5
