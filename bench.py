@@ -25,6 +25,7 @@ the CRC-pass count, so correctness is asserted by the same readback.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -126,31 +127,11 @@ def main():
     }))
 
 
-def _run_with_pallas_fallback():
-    """Run the measurement; if device->host reads are wedged, re-exec
-    without the Pallas sync kernel.
-
-    On the axon dev tunnel, once a Mosaic/Pallas kernel has executed,
-    device->host reads can fail *persistently* (measured 2026-08-20: 60
-    retries over ~9 min, still UNIMPLEMENTED) — and the failure sticks
-    to the process's runtime client, so no in-process retry can recover.
-    ``os.execv`` replaces the process image (fresh tunnel client) with
-    ``GR_DTL_TPU_PALLAS=0`` pinned, trading the kernel's ~18% for a
-    guaranteed number.  On a directly-attached chip the fallback never
-    triggers."""
-    import os
-
-    try:
-        main()
-    except Exception:
-        if os.environ.get("GR_DTL_TPU_PALLAS") == "0":
-            raise  # already on the fallback path: a real failure
-        sys.stderr.write(
-            "bench.py: persistent device->host failure with the Pallas "
-            "kernel enabled; re-running with GR_DTL_TPU_PALLAS=0\n")
-        os.environ["GR_DTL_TPU_PALLAS"] = "0"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
-
-
 if __name__ == "__main__":
-    _run_with_pallas_fallback()
+    # if the run dies with the Pallas kernel enabled (the dev tunnel can
+    # wedge device->host reads after any Mosaic launch), re-exec with
+    # GR_DTL_TPU_PALLAS=0 — a number beats a traceback
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gr_dtl_tpu.utils.fetch import run_with_pallas_fallback
+
+    run_with_pallas_fallback(main)

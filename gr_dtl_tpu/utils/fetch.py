@@ -49,3 +49,28 @@ def fetch_np(x, tries: int | None = None, delay_s: float = 0.5) -> np.ndarray:
 def fetch_float(x, tries: int | None = None, delay_s: float = 0.5) -> float:
     """float(x) with retries on transient transfer errors."""
     return _retry(lambda: float(x), tries or _tries(12), delay_s)
+
+
+def run_with_pallas_fallback(main) -> None:
+    """Run a bench/tool main(); if it dies with the Pallas kernel
+    enabled, re-exec the process with ``GR_DTL_TPU_PALLAS=0``.
+
+    On the axon dev tunnel, once a Mosaic/Pallas kernel has executed,
+    device->host reads can fail *persistently* (measured 2026-08-20: 60
+    retries over ~9 min, still UNIMPLEMENTED), and the failure sticks to
+    the process's runtime client — no in-process retry recovers.
+    ``os.execv`` replaces the process image (fresh client) with the jnp
+    sync path pinned.  On a directly-attached chip this never triggers.
+    """
+    import sys
+
+    try:
+        main()
+    except Exception:
+        if os.environ.get("GR_DTL_TPU_PALLAS") == "0":
+            raise  # already on the fallback path: a real failure
+        sys.stderr.write(
+            f"{sys.argv[0]}: failure with the Pallas kernel enabled; "
+            "re-running with GR_DTL_TPU_PALLAS=0\n")
+        os.environ["GR_DTL_TPU_PALLAS"] = "0"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -28,6 +28,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gr_dtl_tpu.utils.fetch import fetch_float  # noqa: E402
+
 
 def main():
     import jax
@@ -79,13 +81,13 @@ def main():
         r = receiver.rx_frames(rxp, frames)
         return acc + jnp.sum(r.crc_ok).astype(jnp.float32)
 
-    float(rx_step(stream, jnp.float32(0)))
+    fetch_float(rx_step(stream, jnp.float32(0)))
     iters = 8
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for _ in range(iters):
         acc = rx_step(stream, acc)
-    coded_ok = float(acc)
+    coded_ok = fetch_float(acc)
     dt = (time.perf_counter() - t0) / iters
     coded_msps = n_samples / dt / 1e6
 
@@ -109,12 +111,12 @@ def main():
         hard, it, ok = ldpc.decode_mm(llr + acc * 1e-12, code, 15)
         return acc + jnp.sum(ok).astype(jnp.float32)
 
-    float(dec_step(llr, jnp.float32(0)))
+    fetch_float(dec_step(llr, jnp.float32(0)))
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for _ in range(iters):
         acc = dec_step(llr, acc)
-    bp_ok = float(acc)
+    bp_ok = fetch_float(acc)
     dt_bp = (time.perf_counter() - t0) / iters
     info_mbps = CW * code["K"] / dt_bp / 1e6
 
@@ -134,4 +136,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from gr_dtl_tpu.utils.fetch import run_with_pallas_fallback
+
+    run_with_pallas_fallback(main)
