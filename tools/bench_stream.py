@@ -237,9 +237,11 @@ def main():
         "best_msamples_per_s": best["msamples_per_s"],
         "best_frames_per_block": best["frames_per_block"],
         "note": "host-loop streaming session: per-block H2D transfer, "
-                "carried tail/lock state, per-block accounting readback "
-                "(serializes steps), numpy tail concat — the always-on "
-                "deployment shape (cf. batch bench BENCH_r02.json)",
+                "carried tail/lock state, per-block accounting readback, "
+                "numpy tail concat — the always-on deployment shape. "
+                "depth=1 rows serialize dispatch/readback; depth=2 rows "
+                "overlap them (StreamRxPipelined). cf. batch bench "
+                "BENCH_r02.json",
     }
     print(json.dumps({"metric": "stream_rx_best", "value":
                       round(best["msamples_per_s"], 1),
