@@ -247,29 +247,45 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
 
     Numerics match :func:`decode` up to the log/exp round trip (same
     tanh clip, same 0.999999 arctanh guard); syndrome checks are exact.
+
+    ``GR_DTL_TPU_BP_BF16=1`` runs the six incidence matmuls with
+    bfloat16 inputs and float32 accumulation (the MXU's native mode).
+    The 0/1 incidence matrices and sign counts are exact in bf16; only
+    the log-magnitude messages lose ~8 mantissa bits, which sum-product
+    BP tolerates.  Off by default pending an on-chip BER ablation; the
+    syndrome check stays exact either way.
     """
+    import os
+
     B, N = llr.shape
-    Vmat = jnp.asarray(code["Vmat"])          # [N, E]
-    Cmat = jnp.asarray(code["Cmat"])          # [M, E]
-    Htf = jnp.asarray(code["Ht"], jnp.float32)  # [M, N]
+    bf16 = os.environ.get("GR_DTL_TPU_BP_BF16", "0") == "1"
+    mdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    def mm(a, b):
+        return jax.lax.dot(a.astype(mdt), b,
+                           preferred_element_type=jnp.float32)
+
+    Vmat = jnp.asarray(code["Vmat"], mdt)       # [N, E]
+    Cmat = jnp.asarray(code["Cmat"], mdt)       # [M, E]
+    Htf = jnp.asarray(code["Ht"], mdt)          # [M, N]
 
     def syndrome_ok_of(total):
         hard = (total < 0).astype(jnp.float32)
-        synd = hard @ Htf.T                   # [B, M] (counts, exact in f32)
-        return jnp.all(synd % 2.0 == 0.0, axis=-1)
+        synd = mm(hard, Htf.T)                # [B, M] (counts, exact: 0/1
+        return jnp.all(synd % 2.0 == 0.0, axis=-1)  # inputs, f32 accum)
 
     def body(carry, _):
         c2v, iters_used, done = carry         # c2v: [B, E]
-        total = llr + c2v @ Vmat.T            # [B, N]
+        total = llr + mm(c2v, Vmat.T)         # [B, N]
         done = done | syndrome_ok_of(total)
-        v2c = total @ Vmat - c2v              # leave-one-out at variables
+        v2c = mm(total, Vmat) - c2v           # leave-one-out at variables
         t = jnp.tanh(jnp.clip(v2c, -20.0, 20.0) / 2.0)
         mag = jnp.log(jnp.maximum(jnp.abs(t), 1e-12))
         neg = (t < 0).astype(jnp.float32)
-        sum_mag = mag @ Cmat.T                # [B, M]
-        sum_neg = neg @ Cmat.T
-        loo_mag = sum_mag @ Cmat - mag        # leave-one-out at checks
-        loo_neg = sum_neg @ Cmat - neg
+        sum_mag = mm(mag, Cmat.T)             # [B, M]
+        sum_neg = mm(neg, Cmat.T)
+        loo_mag = mm(sum_mag, Cmat) - mag     # leave-one-out at checks
+        loo_neg = mm(sum_neg, Cmat) - neg
         sign = 1.0 - 2.0 * (loo_neg % 2.0)
         loo = jnp.clip(sign * jnp.exp(loo_mag), -0.999999, 0.999999)
         new_c2v = 2.0 * jnp.arctanh(loo)
@@ -281,7 +297,7 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
     (c2v, iters_used, done), _ = jax.lax.scan(
         body, (c2v0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
         None, length=max_iters)
-    total = llr + c2v @ Vmat.T
+    total = llr + mm(c2v, Vmat.T)
     hard = (total < 0).astype(jnp.int32)
     ok = done | syndrome_ok_of(total)
     return hard, iters_used, ok

@@ -121,3 +121,38 @@ def test_decode_mm_with_shortening():
     np.testing.assert_array_equal(
         np.asarray(bits)[:, code["M"]:code["M"] + kp],
         msgs[:, :kp].astype(np.int32))
+
+
+def test_decode_mm_bf16_mode_converges(monkeypatch):
+    """GR_DTL_TPU_BP_BF16=1 (bf16 incidence matmuls, f32 accumulation):
+    noisy codewords still decode exactly and the syndrome gate still
+    rejects garbage -- the precision knob must not change decisions at
+    operating SNR."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.ops import ldpc
+    from gr_dtl_tpu.utils import alist as alist_mod
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0300_k_0152.alist"))
+    code = ldpc.build_ldpc(H)
+    rng = np.random.RandomState(0)
+    B = 64
+    msg = rng.randint(0, 2, size=(B, code["K"])).astype(np.float32)
+    cws = np.asarray(ldpc.encode(jnp.asarray(msg), code))
+    llr = ((1.0 - 2.0 * cws) * 4.0
+           + rng.randn(B, code["N"]).astype(np.float32) * 0.8)
+
+    hard32, it32, ok32 = ldpc.decode(jnp.asarray(llr), code, 15)
+    monkeypatch.setenv("GR_DTL_TPU_BP_BF16", "1")
+    hard16, it16, ok16 = ldpc.decode_mm(jnp.asarray(llr), code, 15)
+    assert bool(jnp.all(ok16)), "bf16 BP failed to converge on clean noise"
+    np.testing.assert_array_equal(np.asarray(hard16), cws)
+    np.testing.assert_array_equal(np.asarray(hard16), np.asarray(hard32))
+    # garbage must still be rejected by the exact syndrome gate
+    junk = jnp.asarray(rng.randn(B, code["N"]).astype(np.float32) * 4.0)
+    _, _, okj = ldpc.decode_mm(junk, code, 15)
+    assert float(jnp.mean(okj.astype(jnp.float32))) < 0.1
