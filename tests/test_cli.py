@@ -168,3 +168,40 @@ stream.astype(np.complex64).tofile({str(cap)!r})
     res2 = json.loads(out2.strip().splitlines()[-1])
     assert res2["frames_crc_ok"] == 8
     assert res2["blocks"] == res["blocks"]
+
+
+@pytest.mark.slow
+def test_stream_tx_rx_cli_link():
+    """Two-process CLI link: `stream` listens for samples on TCP,
+    `stream-tx` connects and transmits — frames decode CRC-clean over
+    the real socket (the reference's TX/RX flowgraph pair under
+    grc_run)."""
+    import socket
+    import time
+
+    # pick a free port
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+
+    rx = subprocess.Popen(
+        [sys.executable, "tools/run_modem.py", "stream",
+         "--source", f"listen:{port}", "--frame-length", "10",
+         "--frames-per-block", "4", "--json"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=HERE)
+    time.sleep(3)
+    tx_out = _run([
+        "tools/run_modem.py", "stream-tx", "--sink",
+        f"tcp:127.0.0.1:{port}", "--frame-length", "10",
+        "--frames-per-block", "4", "--pdus", "12", "--pdu-bytes", "30",
+        "--max-blocks", "6", "--json",
+    ])
+    tx_res = json.loads(tx_out.strip().splitlines()[-1])
+    assert tx_res["payload_frames"] == 12
+    out, err = rx.communicate(timeout=300)
+    assert rx.returncode == 0, err[-2000:]
+    rx_res = json.loads(out.strip().splitlines()[-1])
+    assert rx_res["blocks"] == 6
+    # every fully-contained frame decodes; the final frame may straddle
+    # the EOF boundary
+    assert rx_res["frames_crc_ok"] >= 20
+    assert rx_res["frames_crc_ok"] == rx_res["frames_header_ok"]

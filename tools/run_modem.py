@@ -10,6 +10,11 @@ Modes:
   stream       always-on RX daemon over a c64 sample source
                (file/FIFO/TCP), optional pipelined readback + ZMQ
                telemetry + frame store
+  stream-tx    always-on TX daemon: PDUs -> StreamTx -> c64 sink;
+               pair with `stream` (RX listens, TX connects) for a
+               two-process link:
+                 run_modem.py stream --source listen:5661 ... &
+                 run_modem.py stream-tx --sink tcp:127.0.0.1:5661 ...
 
 Examples:
   run_modem.py loopback --config examples/config.json --frames 64 --snr-db 25
@@ -253,9 +258,13 @@ def run_stream(args):
                 yield data[b * S : (b + 1) * S]
 
         src_close = lambda: None
-    elif kind in ("fifo", "tcp"):
+    elif kind in ("fifo", "tcp", "listen"):
         if kind == "fifo":
             source = sample_io.fifo_source(rest)
+        elif kind == "listen":
+            server = sample_io.listen(port=int(rest))[0]
+            endpoint = sample_io.accept_endpoint(server)
+            source = endpoint.source
         else:
             host, _, port = rest.rpartition(":")
             endpoint = sample_io.connect(host or "127.0.0.1", int(port))
@@ -276,7 +285,7 @@ def run_stream(args):
                      else source.close)
     else:
         sys.exit(f"error: unknown --source kind {kind!r} "
-                 "(use file:, fifo:, or tcp:host:port)")
+                 "(use file:, fifo:, tcp:host:port, or listen:port)")
 
     store = None
     if args.store_rx:
@@ -346,6 +355,81 @@ def run_stream(args):
     _report(args, res)
 
 
+def run_stream_tx(args):
+    """Always-on transmitter daemon: PDUs -> StreamTx -> c64 sample
+    sink (file/FIFO/TCP) — the TX half of a two-process `stream` link
+    (the reference's ofdm_adaptive_tx flowgraph under grc_run).
+
+    PDUs are random (--pdus/--pdu-bytes/--seed) — the CLI stand-in for
+    a network tap; wire a tun device with tools/tun_bridge.py for real
+    traffic.  ``--pace`` holds emission to cfg.sample_rate wall-clock.
+    """
+    jax = _platform(args)
+    import time as _time
+
+    from gr_dtl_tpu.utils import alist as alist_mod, config as cfgmod
+    from gr_dtl_tpu.models import fec_chain, session
+    from gr_dtl_tpu.testbed import sample_io
+
+    txcfg = cfgmod.make_tx_config(args.config, frame_length=args.frame_length)
+    fec = None
+    if txcfg.fec:
+        fec = fec_chain.build_fec(
+            txcfg, [alist_mod.load_alist(p) for _, p in txcfg.fec_codes],
+            tb_frames=args.tb_frames)
+    tx = session.StreamTx(txcfg, frames_per_block=args.frames_per_block,
+                          fec=fec, pace=args.pace, seed=args.seed)
+
+    kind, _, rest = args.sink.partition(":")
+    endpoint = None
+    if kind == "file":
+        fd = os.open(rest, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        sink = sample_io.SampleSink(fd)
+        closer = sink.close
+    elif kind == "fifo":
+        sink = sample_io.fifo_sink(rest)
+        closer = sink.close
+    elif kind == "tcp":
+        host, _, port = rest.rpartition(":")
+        endpoint = sample_io.connect(host or "127.0.0.1", int(port))
+        sink = endpoint.sink
+        closer = endpoint.close
+    else:
+        sys.exit(f"error: unknown --sink kind {kind!r} "
+                 "(use file:, fifo:, or tcp:host:port)")
+
+    rng = np.random.RandomState(args.seed)
+    cap = tx._capacity()
+    nbytes = min(args.pdu_bytes, cap)
+    for _ in range(args.pdus):
+        tx.send(rng.randint(0, 256, nbytes).astype(np.uint8).tobytes())
+
+    n_blocks = n_frames = 0
+    t0 = _time.monotonic()
+    try:
+        while True:
+            blk = tx.next_block()
+            if blk is None:
+                break
+            samples, info = blk
+            sink.write(samples)
+            n_blocks += 1
+            n_frames += int((info["payload_len"] > 0).sum())
+            if args.max_blocks and n_blocks >= args.max_blocks:
+                break
+    finally:
+        elapsed = _time.monotonic() - t0
+        closer()
+    _report(args, {
+        "mode": "stream-tx",
+        "blocks": n_blocks,
+        "samples": n_blocks * tx.block_samples,
+        "payload_frames": n_frames,
+        "pdus": args.pdus,
+        "msamples_per_s": n_blocks * tx.block_samples / elapsed / 1e6,
+    })
+
+
 def _summarize(rx, B):
     from gr_dtl_tpu.ops import metrics
 
@@ -407,7 +491,14 @@ def main():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("mode", choices=["loopback", "full-duplex", "simplex",
-                                    "stream"])
+                                    "stream", "stream-tx"])
+    p.add_argument("--sink", default=None,
+                   help="stream-tx mode: file:PATH | fifo:PATH | "
+                        "tcp:HOST:PORT sample output")
+    p.add_argument("--pdus", type=int, default=64)
+    p.add_argument("--pdu-bytes", type=int, default=40)
+    p.add_argument("--pace", action="store_true",
+                   help="stream-tx: hold emission to cfg.sample_rate")
     p.add_argument("--source", default=None,
                    help="stream mode: file:PATH | fifo:PATH | "
                         "tcp:HOST:PORT sample input")
@@ -464,8 +555,11 @@ def main():
         args.config = base  # make_*_config accepts a dict
     if args.mode == "stream" and not args.source:
         sys.exit("error: stream mode requires --source")
+    if args.mode == "stream-tx" and not args.sink:
+        sys.exit("error: stream-tx mode requires --sink")
     {"loopback": run_loopback, "full-duplex": run_full_duplex,
-     "simplex": run_simplex, "stream": run_stream}[args.mode](args)
+     "simplex": run_simplex, "stream": run_stream,
+     "stream-tx": run_stream_tx}[args.mode](args)
 
 
 if __name__ == "__main__":
