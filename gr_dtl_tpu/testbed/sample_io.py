@@ -155,14 +155,21 @@ def connect(host: str, port: int, timeout: float = 30.0) -> SampleEndpoint:
     return SampleEndpoint(sock)
 
 
+def _ensure_fifo(path: str) -> None:
+    # both ends race to create the pipe (reader and writer start
+    # concurrently by design) — EEXIST from the loser is fine
+    try:
+        os.mkfifo(path)
+    except FileExistsError:
+        pass
+
+
 def fifo_sink(path: str) -> SampleSink:
     """Open (creating if needed) a named pipe for writing samples."""
-    if not os.path.exists(path):
-        os.mkfifo(path)
+    _ensure_fifo(path)
     return SampleSink(os.open(path, os.O_WRONLY))
 
 
 def fifo_source(path: str) -> SampleSource:
-    if not os.path.exists(path):
-        os.mkfifo(path)
+    _ensure_fifo(path)
     return SampleSource(os.open(path, os.O_RDONLY))

@@ -114,6 +114,7 @@ def test_loopback_cli_on_chip():
     assert out["crc_ok_rate"] == 1.0
 
 
+@pytest.mark.slow
 def test_stream_daemon_cli(tmp_path):
     """The always-on RX daemon over a file source: decodes a capture,
     writes a scoreable frame store, pipelined readback gives identical

@@ -278,6 +278,7 @@ def test_stream_duplex_adaptation():
     assert dpx.tx_b.constellation == int(cn.ConstellationType.BPSK)
 
 
+@pytest.mark.slow
 def test_stream_rx_pipelined_matches_plain():
     """StreamRxPipelined(depth=3) output is bit-identical to StreamRx,
     shifted by depth-1 blocks (only the HOST readback is deferred; the
@@ -421,6 +422,7 @@ def test_stream_tx_pacing():
     assert unpaced < paced
 
 
+@pytest.mark.slow
 def test_stream_simplex_soak_fading_sfo():
     """Soak: an always-on simplex session survives 30 steps of Rayleigh
     selective fading + ±20 ppm clock drift + AWGN on the forward link
