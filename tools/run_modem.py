@@ -215,6 +215,11 @@ def run_stream(args):
       tcp:HOST:PORT  connect to a sample server (e.g. tools/sample_link
                      TX, an SDR bridge, or another run_modem)
     """
+    # per-block readback loop: pin the jnp sync path on the dev tunnel
+    # (a Mosaic launch can wedge device->host reads there; see
+    # ops/sync.timing_metric).  Set GR_DTL_TPU_PALLAS=1 explicitly on a
+    # directly-attached chip to use the fused kernel.
+    os.environ.setdefault("GR_DTL_TPU_PALLAS", "0")
     jax = _platform(args)
     import time as _time
 
