@@ -179,11 +179,9 @@ class StreamRx:
 
         return step
 
-    def process(self, chunk: np.ndarray):
-        """One block of block_samples samples -> (RxOut, valid [F]);
-        multi-frame-TB FEC sessions return a third element: a dict of
-        [F]-leading arrays for TBs completed within this block
-        (``valid`` marks real emissions)."""
+    def _dispatch(self, chunk: np.ndarray):
+        """Launch the jitted block step and update the carried state;
+        returns the (device-resident) results for a later readback."""
         assert chunk.shape[-1] == self.block_samples, (
             f"feed exactly {self.block_samples} samples per call"
         )
@@ -196,7 +194,14 @@ class StreamRx:
         self._tail = np.asarray(chunk)[-self.tail_len :]
         if self._use_tb:
             self._tb_state = tb_state
-        return self._readback(out, valid, acct, tb_out)
+        return out, valid, acct, tb_out
+
+    def process(self, chunk: np.ndarray):
+        """One block of block_samples samples -> (RxOut, valid [F]);
+        multi-frame-TB FEC sessions return a third element: a dict of
+        [F]-leading arrays for TBs completed within this block
+        (``valid`` marks real emissions)."""
+        return self._readback(*self._dispatch(chunk))
 
     def _readback(self, out, valid, acct, tb_out):
         # robust readback: the dev tunnel's device->host copies are
@@ -271,19 +276,7 @@ class StreamRxPipelined(StreamRx):
         self._inflight: list[tuple] = []
 
     def process(self, chunk: np.ndarray):
-        assert chunk.shape[-1] == self.block_samples, (
-            f"feed exactly {self.block_samples} samples per call"
-        )
-        samples = np.concatenate([self._tail, np.asarray(chunk, np.complex64)])
-        tb_state = self._tb_state if self._use_tb else None
-        (out, valid, self._lock, self._fallback, self._expected_no, acct,
-         tb_state, tb_out) = self._step(
-            jnp.asarray(samples), self._lock, self._fallback,
-            self._expected_no, tb_state)
-        self._tail = np.asarray(chunk)[-self.tail_len :]
-        if self._use_tb:
-            self._tb_state = tb_state
-        self._inflight.append((out, valid, acct, tb_out))
+        self._inflight.append(self._dispatch(chunk))
         if len(self._inflight) >= self.depth:
             return self._readback(*self._inflight.pop(0))
         return None
