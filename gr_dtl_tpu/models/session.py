@@ -545,12 +545,14 @@ class StreamDuplex:
     """
 
     def __init__(self, cfg_tx_a, cfg_rx_a, cfg_tx_b, cfg_rx_b,
-                 channel_ab, channel_ba, frames_per_block: int = 8):
+                 channel_ab, channel_ba, frames_per_block: int = 8,
+                 probe_a=None, probe_b=None):
         self.F = frames_per_block
         self.tx_a = StreamTx(cfg_tx_a, frames_per_block)
         self.tx_b = StreamTx(cfg_tx_b, frames_per_block)
-        self.rx_a = StreamRx(cfg_rx_a, frames_per_block)
-        self.rx_b = StreamRx(cfg_rx_b, frames_per_block)
+        # per-node telemetry probes (same contract as StreamRx(probe=))
+        self.rx_a = StreamRx(cfg_rx_a, frames_per_block, probe=probe_a)
+        self.rx_b = StreamRx(cfg_rx_b, frames_per_block, probe=probe_b)
         self.chan_ab = channel_ab
         self.chan_ba = channel_ba
         # per-node tables: each node decides with ITS OWN ladder (the
