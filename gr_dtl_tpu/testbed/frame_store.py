@@ -50,12 +50,20 @@ class FrameStore:
         self._f.write(_HDR.pack(len(payload), long_no))
         self._f.write(payload)
 
-    def store_batch(self, rx_out) -> None:
-        """Store every CRC-passing frame of an RxOut/TxOut-like batch."""
+    def store_batch(self, rx_out, valid=None) -> None:
+        """Store every CRC-passing frame of an RxOut/TxOut-like batch.
+
+        ``valid``: optional [B] bool mask of real frame slots (e.g. the
+        trigger-lock validity from a streaming session) — a CRC-passing
+        frame in an invalid slot (a tail re-detection duplicate) must
+        not reach the store, rather than relying on the frame-number
+        dedup heuristics downstream."""
         payload = np.asarray(rx_out.payload)
         plen = np.asarray(rx_out.payload_len)
         nos = np.asarray(rx_out.frame_no)
         ok = np.asarray(getattr(rx_out, "crc_ok", np.ones(len(nos), bool)))
+        if valid is not None:
+            ok = ok & np.asarray(valid, bool)
         for i in range(payload.shape[0]):
             if ok[i]:
                 self.store(payload[i, : plen[i]].tobytes(), int(nos[i]))

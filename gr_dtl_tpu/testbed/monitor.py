@@ -145,10 +145,16 @@ class MonitorParser:
 def eq_messages(rx_out, lost_frames_rate: float = 0.0,
                 fec_key: int = 0) -> list:
     """Per-frame MonitorEqMsg payloads from an RxOut batch
-    (ref ofdm_adaptive_frame_equalizer_vcvc_impl.cc:210-216)."""
-    cnst = np.asarray(rx_out.cnst_id)
-    snr = np.asarray(rx_out.snr_db)
-    noise = np.asarray(rx_out.noise_var)
+    (ref ofdm_adaptive_frame_equalizer_vcvc_impl.cc:210-216).
+
+    Device reads go through the retrying fetch: this runs inside the
+    always-on daemon's readback loop, where a transient tunnel error on
+    a bare ``np.asarray`` would kill the process."""
+    from gr_dtl_tpu.utils.fetch import fetch_np
+
+    cnst = fetch_np(rx_out.cnst_id)
+    snr = fetch_np(rx_out.snr_db)
+    noise = fetch_np(rx_out.noise_var)
     msgs = []
     for i in range(cnst.shape[0]):
         msgs.append(monitor_pb2.MonitorEqMsg(
@@ -165,11 +171,12 @@ def dec_messages(rx_out, fec, crc_ok_count: int, crc_fail_count: int) -> list:
     """Per-frame MonitorDecMsg payloads from a FEC RxOut batch
     (ref ofdm_adaptive_fec_decoder_impl.cc:184-196)."""
     from gr_dtl_tpu.ops import constellation as cn
+    from gr_dtl_tpu.utils.fetch import fetch_np
 
-    cnst = np.asarray(rx_out.cnst_id)
-    iters = np.asarray(rx_out.avg_iters)
-    plen = np.asarray(rx_out.payload_len)
-    frame_no = np.asarray(rx_out.frame_no)
+    cnst = fetch_np(rx_out.cnst_id)
+    iters = fetch_np(rx_out.avg_iters)
+    plen = fetch_np(rx_out.payload_len)
+    frame_no = fetch_np(rx_out.frame_no)
     msgs = []
     for i in range(cnst.shape[0]):
         bps = int(cn.BITS_PER_SYMBOL[cnst[i]])

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import socket
+import time
 
 import numpy as np
 
@@ -150,7 +151,26 @@ def accept_endpoint(server: socket.socket, timeout: float | None = None
 
 
 def connect(host: str, port: int, timeout: float = 30.0) -> SampleEndpoint:
-    sock = socket.create_connection((host, port), timeout=timeout)
+    """Connect to a sample peer, retrying until ``timeout``.
+
+    ``create_connection`` treats its timeout as per-attempt and fails
+    immediately with ECONNREFUSED if the peer hasn't bound yet — but the
+    standard deployment starts both halves concurrently (the RX daemon
+    imports jax *before* binding its listen socket), so the first
+    attempts are expected to be refused.  Retry with backoff until the
+    deadline instead."""
+    deadline = time.monotonic() + timeout
+    delay = 0.05
+    while True:
+        try:
+            sock = socket.create_connection(
+                (host, port), timeout=max(0.1, deadline - time.monotonic()))
+            break
+        except OSError:
+            if time.monotonic() + delay > deadline:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 1.6, 1.0)
     sock.settimeout(None)
     return SampleEndpoint(sock)
 

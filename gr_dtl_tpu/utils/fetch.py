@@ -63,12 +63,17 @@ def run_with_pallas_fallback(main) -> None:
     sync path pinned.  On a directly-attached chip this never triggers.
     """
     import sys
+    import traceback
 
     try:
         main()
     except Exception:
         if os.environ.get("GR_DTL_TPU_PALLAS") == "0":
             raise  # already on the fallback path: a real failure
+        # the retry hides the first traceback otherwise — and a genuine
+        # non-Pallas bug would be silently re-run once; keep the
+        # evidence on stderr before the process image is replaced
+        traceback.print_exc()
         sys.stderr.write(
             f"{sys.argv[0]}: failure with the Pallas kernel enabled; "
             "re-running with GR_DTL_TPU_PALLAS=0\n")

@@ -189,7 +189,9 @@ def test_stream_tx_rx_cli_link():
          "--source", f"listen:{port}", "--frame-length", "10",
          "--frames-per-block", "4", "--json"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=HERE)
-    time.sleep(3)
+    # no fixed sleep needed: sample_io.connect retries with backoff
+    # until the RX daemon (which imports jax before binding) is up
+    time.sleep(0.5)
     tx_out = _run([
         "tools/run_modem.py", "stream-tx", "--sink",
         f"tcp:127.0.0.1:{port}", "--frame-length", "10",

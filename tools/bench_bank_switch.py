@@ -90,17 +90,26 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
 
     crossover = next((r["n_codes"] for r in rows if not r["mm_wins"]), None)
+    max_probed = max(r["n_codes"] for r in rows)
+    if crossover is not None:
+        note = ("mm-form cost grows with bank size (dense stacked "
+                "operators); gather-form is bank-size-invariant.  "
+                "GR_DTL_TPU_BANK_MM_MAX should sit just below the "
+                f"measured crossover ({crossover}).")
+    else:
+        note = ("mm-form won at every probed bank size (max "
+                f"{max_probed}); no crossover measured.  "
+                "GR_DTL_TPU_BANK_MM_MAX defaults are only evidenced up "
+                f"to {max_probed} codes — larger banks extrapolate.")
     res = {
         "metric": "bank_decoder_crossover",
         "codewords_per_step": CW,
         "code": "n=300 k=152 (xN copies)",
         "platform": jax.devices()[0].platform,
         "rows": rows,
+        "max_probed_n_codes": max_probed,
         "measured_crossover_n_codes": crossover,
-        "note": "mm-form cost grows with bank size (dense stacked "
-                "operators); gather-form is bank-size-invariant.  "
-                "GR_DTL_TPU_BANK_MM_MAX should sit just below the "
-                "crossover.",
+        "note": note,
     }
     print(json.dumps({"metric": res["metric"],
                       "crossover": crossover}))

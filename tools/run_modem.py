@@ -322,7 +322,7 @@ def run_stream(args):
         if len(r) > 2:
             consume_tb(r[2])
         if store is not None:
-            store.store_batch(out)
+            store.store_batch(out, valid=valid)
 
     t0 = _time.monotonic()
     try:
