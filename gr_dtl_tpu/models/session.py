@@ -546,8 +546,18 @@ class StreamDuplex:
 
     def __init__(self, cfg_tx_a, cfg_rx_a, cfg_tx_b, cfg_rx_b,
                  channel_ab, channel_ba, frames_per_block: int = 8,
-                 probe_a=None, probe_b=None):
+                 probe_a=None, probe_b=None,
+                 serialize_readback: bool = False):
         self.F = frames_per_block
+        # False (default): both directions' device work is dispatched
+        # before either readback, so the A->B fetch overlaps the B->A
+        # compute (the StreamRxPipelined discipline applied across
+        # directions).  True: readback right after each dispatch — the
+        # fully serialized ordering, kept for A/B step-time measurement
+        # (tools/bench_stream.py).  Outputs are bit-identical either
+        # way: control (feedback echo/MCS switch) is applied after both
+        # halves in both orderings, so it affects the next block only.
+        self.serialize_readback = serialize_readback
         self.tx_a = StreamTx(cfg_tx_a, frames_per_block)
         self.tx_b = StreamTx(cfg_tx_b, frames_per_block)
         # per-node telemetry probes (same contract as StreamRx(probe=))
@@ -582,12 +592,21 @@ class StreamDuplex:
         self._cnst_of_mcs_a = np.asarray(self.tables_a["cnst"])
         self._cnst_of_mcs_b = np.asarray(self.tables_b["cnst"])
 
-    def _half(self, tx: StreamTx, chan, rx: StreamRx, fb_state, fb_scan):
+    def _dispatch_half(self, tx: StreamTx, chan, rx: StreamRx):
+        """TX one block through the channel and launch the RX step;
+        no device->host readback of RX results happens here."""
         blk = tx.next_block()
         if blk is None:
-            return None, fb_state, None
+            return None
         samples, _info = blk
-        out, valid = rx.process(fetch_np(chan(samples)))
+        return rx._dispatch(fetch_np(chan(samples)))
+
+    def _finish_half(self, disp, rx: StreamRx, fb_state, fb_scan):
+        """Read back one direction's results and compute (not apply)
+        its adaptation decisions."""
+        if disp is None:
+            return None, fb_state, None
+        out, valid = rx._readback(*disp)[:2]
         ok = fetch_np(out.header_ok) & valid
         # adaptation: decisions only on decoded frames (ref: feedback
         # comes from the equalizer only when a frame was received)
@@ -604,10 +623,22 @@ class StreamDuplex:
     def step(self):
         """One block each way; returns per-direction RxOut + telemetry
         (None once both TX queues and empty budgets are exhausted)."""
-        out_b, self._fb_b, ctl_b = self._half(
-            self.tx_a, self.chan_ab, self.rx_b, self._fb_b, self._fb_scan_b)
-        out_a, self._fb_a, ctl_a = self._half(
-            self.tx_b, self.chan_ba, self.rx_a, self._fb_a, self._fb_scan_a)
+        if self.serialize_readback:
+            d_b = self._dispatch_half(self.tx_a, self.chan_ab, self.rx_b)
+            out_b, self._fb_b, ctl_b = self._finish_half(
+                d_b, self.rx_b, self._fb_b, self._fb_scan_b)
+            d_a = self._dispatch_half(self.tx_b, self.chan_ba, self.rx_a)
+            out_a, self._fb_a, ctl_a = self._finish_half(
+                d_a, self.rx_a, self._fb_a, self._fb_scan_a)
+        else:
+            # both directions in flight before either readback: the
+            # B-side fetch overlaps the A-side compute (and vice versa)
+            d_b = self._dispatch_half(self.tx_a, self.chan_ab, self.rx_b)
+            d_a = self._dispatch_half(self.tx_b, self.chan_ba, self.rx_a)
+            out_b, self._fb_b, ctl_b = self._finish_half(
+                d_b, self.rx_b, self._fb_b, self._fb_scan_b)
+            out_a, self._fb_a, ctl_a = self._finish_half(
+                d_a, self.rx_a, self._fb_a, self._fb_scan_a)
         if out_a is None and out_b is None:
             return None
         # B's decision about the A->B link is echoed in B's headers and,

