@@ -120,6 +120,64 @@ def _build_tables():
 
 
 POINTS, BITS_PER_SYMBOL, VALID_MASK, BIT_VALUES, MIN_DIST = _build_tables()
+_DEFAULT_POINTS = POINTS.copy()
+_DEFAULT_MIN_DIST = MIN_DIST.copy()
+
+# wire-compat mode: when foreign label->point tables are loaded (see
+# utils/wire_compat), the closed-form slicers in nearest_point /
+# soft_llrs — which are derived from THIS framework's Gray layouts —
+# are invalid, and decisions fall back to the generic table reductions
+# (nearest_point_table / soft_llrs_table).  Trace-time flag: models
+# built after activation get the table path.
+TABLE_MODE = False
+
+
+def _derived_from_points(pts: np.ndarray):
+    """Recompute (MIN_DIST,) derived constants for a POINTS table."""
+    md = np.ones(N_TYPES, np.float32)
+    for ty in range(1, N_TYPES):
+        n = 1 << int(BITS_PER_SYMBOL[ty])
+        p = pts[ty, :n]
+        d = np.abs(p[:, None] - p[None, :])
+        d[d == 0] = np.inf
+        md[ty] = d.min()
+    return md
+
+
+def set_wire_points(points_by_type: dict) -> None:
+    """Install foreign constellation tables (wire-compat mode).
+
+    Args:
+      points_by_type: {ConstellationType int: complex array of length
+        2^bps, indexed by symbol *label*} — e.g. gr-digital's
+        ``constellation.points()`` order extracted by
+        tools/extract_gr_constants.py.  Bits-per-symbol per type is
+        fixed by the protocol (ref constellation.cc:54-59) and must
+        match.  Must be called before any model is built (jitted graphs
+        capture the tables at trace time).
+    """
+    global POINTS, MIN_DIST, TABLE_MODE
+    pts = _DEFAULT_POINTS.copy()
+    for ty, p in points_by_type.items():
+        ty = int(ty)
+        p = np.asarray(p, np.complex64)
+        n = 1 << int(BITS_PER_SYMBOL[ty])
+        if p.shape != (n,):
+            raise ValueError(
+                f"type {ty}: expected {n} points, got {p.shape}")
+        pts[ty, :n] = p
+        pts[ty, n:] = p[np.arange(n, MAX_POINTS) % n]
+    POINTS = pts
+    MIN_DIST = _derived_from_points(pts)
+    TABLE_MODE = True
+
+
+def reset_points() -> None:
+    """Restore this framework's native Gray tables and closed forms."""
+    global POINTS, MIN_DIST, TABLE_MODE
+    POINTS = _DEFAULT_POINTS.copy()
+    MIN_DIST = _DEFAULT_MIN_DIST.copy()
+    TABLE_MODE = False
 
 
 def min_distances() -> np.ndarray:
@@ -193,6 +251,8 @@ def nearest_point(y: jax.Array, cnst_id: jax.Array):
     elementwise ops.  Results match the argmin decision everywhere but
     exact decision boundaries (measure zero).
     """
+    if TABLE_MODE:  # wire-compat tables: closed forms don't apply
+        return nearest_point_table(y, cnst_id)
     cid = _expand_to(jnp.asarray(cnst_id), y.shape)
     re = jnp.real(y)
     im = jnp.imag(y)
@@ -278,6 +338,8 @@ def soft_llrs(y: jax.Array, cnst_id: jax.Array, noise_var: jax.Array) -> jax.Arr
                  cnst_id.
     Returns [..., n, MAX_BPS] float32 LLRs; bits above the frame's bps are 0.
     """
+    if TABLE_MODE:  # wire-compat tables: closed forms don't apply
+        return soft_llrs_table(y, cnst_id, noise_var)
     cid = _expand_to(jnp.asarray(cnst_id), y.shape)  # [..., n]
     nv = jnp.maximum(_expand_to(noise_var, y.shape), 1e-12)
     re = jnp.real(y).astype(jnp.float32)
@@ -343,6 +405,18 @@ def _psk8_llrs(re: jax.Array, im: jax.Array) -> jax.Array:
     m1 = jnp.max(jnp.where(bit, p, -jnp.inf), axis=-2)
     llr3 = 2.0 * (m0 - m1)
     return jnp.concatenate([llr3, jnp.zeros_like(llr3[..., :1])], axis=-1)
+
+
+def nearest_point_table(y: jax.Array, cnst_id: jax.Array):
+    """Generic table-reduction nearest-point decision — the oracle for
+    :func:`nearest_point` and the decision path in wire-compat mode
+    (foreign label layouts have no closed-form slicer)."""
+    d2, pts = _frame_distances(y, cnst_id)  # [..., n, P]
+    idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    point = jnp.take_along_axis(
+        jnp.broadcast_to(pts[..., None, :], d2.shape),
+        idx[..., None], axis=-1)[..., 0]
+    return idx, point
 
 
 def soft_llrs_table(y: jax.Array, cnst_id: jax.Array,

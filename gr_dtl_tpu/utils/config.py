@@ -57,6 +57,19 @@ DEFAULT_PILOT_CARRIERS: t.Tuple[int, ...] = (-21, -7, 7, 21)
 
 _SYNC_SEED = 42
 
+# wire-compat override (utils/wire_compat.activate): when set, the
+# sync-word makers return these exact frequency-domain vectors — the
+# reference's gr-digital ``_make_sync_word1/2`` output — instead of the
+# self-chosen PN (ref ofdm_adaptive_config.py:33-36)
+_WIRE_SYNC1: t.Optional[np.ndarray] = None
+_WIRE_SYNC2: t.Optional[np.ndarray] = None
+
+
+def set_wire_sync_words(w1, w2) -> None:
+    global _WIRE_SYNC1, _WIRE_SYNC2
+    _WIRE_SYNC1 = None if w1 is None else np.asarray(w1, np.complex64)
+    _WIRE_SYNC2 = None if w2 is None else np.asarray(w2, np.complex64)
+
 
 def _active_carriers(occupied, pilots):
     return sorted(set(occupied) | set(pilots))
@@ -70,6 +83,8 @@ def make_sync_word1(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
     repeats with period 32, which the Schmidl-Cox autocorrelator detects.
     Returned as a centered length-fft_len frequency-domain vector.
     """
+    if _WIRE_SYNC1 is not None and len(_WIRE_SYNC1) == fft_len:
+        return _WIRE_SYNC1.copy()
     rng = np.random.RandomState(_SYNC_SEED)
     active = _active_carriers(occupied, pilots)
     w = np.zeros(fft_len, dtype=np.complex64)
@@ -83,6 +98,8 @@ def make_sync_word1(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
 def make_sync_word2(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
                     pilots=DEFAULT_PILOT_CARRIERS) -> np.ndarray:
     """Sync word 2: PN(+-1) on all active carriers (channel estimation)."""
+    if _WIRE_SYNC2 is not None and len(_WIRE_SYNC2) == fft_len:
+        return _WIRE_SYNC2.copy()
     rng = np.random.RandomState(_SYNC_SEED + 1)
     active = _active_carriers(occupied, pilots)
     w = np.zeros(fft_len, dtype=np.complex64)
@@ -102,6 +119,11 @@ class OFDMConfig:
     pilot_sym_scramble_seq: t.Tuple[int, ...] = PILOT_SYM_SCRAMBLE_SEQ
     rolloff: int = 0
     scramble_bits: bool = False
+    # path to a wire-constants JSON (tools/extract_gr_constants.py on a
+    # machine with gr-digital); when set, _make_config activates
+    # utils/wire_compat so TX/RX use the reference's exact
+    # constellation labels + sync-word PN (interop drop-in)
+    wire_compat: str = ""
     frame_length: int = 20  # payload OFDM symbols per frame
     frame_store_folder: str = "/tmp"
     fec: bool = False
@@ -249,6 +271,10 @@ def _make_config(cfg, json_dict: t.Optional[dict], **overrides):
         for key, val in source.items():
             if hasattr(cfg, key):
                 cfg.__setattr__(key, parsers.get(key, lambda v: v)(val))
+    if getattr(cfg, "wire_compat", ""):
+        from gr_dtl_tpu.utils import wire_compat
+
+        wire_compat.activate(cfg.wire_compat)
     return cfg
 
 
