@@ -9,6 +9,13 @@ Mirrors the reference testbed monitoring stack (SURVEY.md #30-33):
   (ref ``monitor_probe_impl.cc:25-41``); two encodings, sniffable by
   the first byte like the reference's parser (``monitor_parser.cc:9-46``):
   * ``0x5c`` + serialized ``MonitorProtoMsg`` (proto payload in Any),
+  * ``0x07`` pair-carrier: ``(sent_counter . (nmsgs . proto blob))`` —
+    the reference's proto-blob-in-pmt-pair encoding
+    (``monitor_probe_impl.cc:86-98``; 0x07 is pmt's serialized PAIR
+    tag).  The counters ride the *carrier*, not the envelope, exactly
+    as the reference's parser expects (``monitor_parser.cc:24-33``);
+    byte-level layout of the carrier fields is this framework's (there
+    is no pmt library here), but tag-sniffing and structure match,
   * ``0x7b`` (= '{') JSON dict for self-describing messages (stands in
     for the reference's serialized-pmt-dict encoding),
 - :class:`MonitorParser` — collector-side decode back to dicts via a
@@ -41,6 +48,7 @@ FEC_DEC_MSG = 0
 EQ_MSG = 1
 
 PROTO_TAG = 0x5C  # ref monitor_probe_impl.cc:72
+PAIR_TAG = 0x07  # pmt serialized-PAIR tag (ref probe's blob encoding)
 
 
 def system_ts() -> int:
@@ -76,6 +84,18 @@ class MonitorProto:
         env.payload.Pack(payload_msg)
         return bytes([PROTO_TAG]) + env.SerializeToString()
 
+    def build_blob(self, payload_msg) -> bytes:
+        """Bare serialized envelope, no tag byte — the 'blob' form a
+        block hands to the probe for the pair-carrier encoding
+        (ref monitor_probe_impl.cc:86: ``pmt::is_blob(msg)`` path;
+        counters are stamped by the *probe* there, so nmsgs and
+        sent_counter stay zero in this envelope)."""
+        env = monitor_pb2.MonitorProtoMsg()
+        env.time = system_ts()
+        env.proto_id = self.proto_id
+        env.payload.Pack(payload_msg)
+        return env.SerializeToString()
+
 
 class MonitorProbe:
     """ZMQ PUB telemetry publisher (ref monitor_probe_impl.cc).
@@ -87,6 +107,7 @@ class MonitorProbe:
 
     def __init__(self, address: str | None = "tcp://*:5550", bind: bool = True):
         self.captured: list[bytes] = []
+        self.sent_counter = 0  # carrier counter (ref message_sender's)
         self._sock = None
         if address is not None:
             import zmq
@@ -106,6 +127,18 @@ class MonitorProbe:
         d.setdefault("time", system_ts())
         self.send(json.dumps(d).encode())
 
+    def send_blob(self, blob: bytes, nmsgs: int = 0) -> None:
+        """Pair-carrier encoding: wrap a bare envelope blob
+        (``MonitorProto.build_blob``) as
+        ``(sent_counter . (nmsgs . blob))`` — the reference probe's
+        third encoding (monitor_probe_impl.cc:86-98).  The probe stamps
+        its own sent counter and the queue depth on the *carrier*."""
+        import struct
+
+        self.sent_counter += 1
+        self.send(struct.pack(">BQQ", PAIR_TAG, self.sent_counter,
+                              nmsgs) + blob)
+
     def close(self) -> None:
         if self._sock is not None:
             self._sock.close(0)
@@ -116,24 +149,41 @@ class MonitorParser:
     """Collector-side decode: sniff the tag byte, return a flat dict
     (ref monitor_parser.cc:9-92 reflection populate)."""
 
+    @staticmethod
+    def _env_to_dict(env) -> dict:
+        out = {
+            "time": env.time,
+            "proto_id": env.proto_id,
+            "nmsgs": env.nmsgs,
+            "sent_counter": env.sent_counter,
+        }
+        cls = _PAYLOAD_TYPES.get(env.proto_id)
+        if cls is not None:
+            payload = cls()
+            env.payload.Unpack(payload)
+            for field in payload.DESCRIPTOR.fields:
+                out[field.name] = getattr(payload, field.name)
+        return out
+
     def parse(self, blob: bytes) -> dict:
         if not blob:
             return {}
         if blob[0] == PROTO_TAG:
             env = monitor_pb2.MonitorProtoMsg()
             env.ParseFromString(blob[1:])
-            out = {
-                "time": env.time,
-                "proto_id": env.proto_id,
-                "nmsgs": env.nmsgs,
-                "sent_counter": env.sent_counter,
-            }
-            cls = _PAYLOAD_TYPES.get(env.proto_id)
-            if cls is not None:
-                payload = cls()
-                env.payload.Unpack(payload)
-                for field in payload.DESCRIPTOR.fields:
-                    out[field.name] = getattr(payload, field.name)
+            return self._env_to_dict(env)
+        if blob[0] == PAIR_TAG:
+            # pair carrier (sent_counter . (nmsgs . proto blob)): the
+            # counters come from the CARRIER, as in the reference
+            # parser (monitor_parser.cc:24-33 sets nmsgs from the pair)
+            import struct
+
+            _tag, counter, nmsgs = struct.unpack(">BQQ", blob[:17])
+            env = monitor_pb2.MonitorProtoMsg()
+            env.ParseFromString(blob[17:])
+            out = self._env_to_dict(env)
+            out["nmsgs"] = nmsgs
+            out["sent_counter"] = counter
             return out
         return json.loads(blob.decode())
 

@@ -31,6 +31,48 @@ def test_proto_roundtrip_capture():
     assert parser.parse(probe.captured[1])["sent_counter"] == 2
 
 
+def test_pair_carrier_roundtrip():
+    """Third encoding (proto blob in a pair carrier,
+    ref monitor_probe_impl.cc:86-98): the probe stamps sent_counter +
+    nmsgs on the CARRIER; the parser must take them from there, not
+    from the (zeroed) envelope — monitor_parser.cc:24-33 semantics."""
+    probe = monitor.MonitorProbe(address=None)
+    builder = monitor.MonitorProto(monitor.EQ_MSG)
+    payload = monitor_pb2.MonitorEqMsg(
+        constellation_key=4, fec_key=0,
+        estimated_snr_tag_key=21.5, noise_tag_key=0.02,
+        lost_frames_rate=0.0,
+    )
+    probe.send_blob(builder.build_blob(payload), nmsgs=5)
+    probe.send_blob(builder.build_blob(payload))
+    parser = monitor.MonitorParser()
+    assert probe.captured[0][0] == monitor.PAIR_TAG
+    out = parser.parse(probe.captured[0])
+    assert out["proto_id"] == monitor.EQ_MSG
+    assert out["constellation_key"] == 4
+    assert abs(out["estimated_snr_tag_key"] - 21.5) < 1e-6
+    # carrier counters win (the envelope's are zero in blob form)
+    assert out["nmsgs"] == 5 and out["sent_counter"] == 1
+    assert parser.parse(probe.captured[1])["sent_counter"] == 2
+
+
+def test_all_three_encodings_sniffable_in_one_stream():
+    """A collector must dispatch all three encodings off one socket by
+    the first byte, like the reference parser."""
+    probe = monitor.MonitorProbe(address=None)
+    builder = monitor.MonitorProto(monitor.EQ_MSG)
+    payload = monitor_pb2.MonitorEqMsg(constellation_key=2,
+                                       estimated_snr_tag_key=9.0)
+    probe.send(builder.build(payload))
+    probe.send_blob(builder.build_blob(payload), nmsgs=1)
+    probe.send_dict({"frames_ok": 7})
+    parser = monitor.MonitorParser()
+    outs = [parser.parse(b) for b in probe.captured]
+    assert outs[0]["constellation_key"] == 2
+    assert outs[1]["constellation_key"] == 2 and outs[1]["nmsgs"] == 1
+    assert outs[2]["frames_ok"] == 7
+
+
 def test_json_dict_roundtrip():
     probe = monitor.MonitorProbe(address=None)
     probe.send_dict({"frame_no": 12, "crc": "ok"})
