@@ -105,3 +105,28 @@ def test_two_process_tcp_link_adaptation():
     assert res["adaptation_converged"] is True
     assert res["tx"]["final_cnst"] == 4  # climbed to QAM16 at 30 dB
     assert res["rx"]["samples_received"] == res["tx"]["samples_sent"]
+
+
+@pytest.mark.slow
+def test_two_process_full_duplex_link():
+    """Full-duplex two-process link: OFDM frames BOTH ways over one
+    socket, in-band header-echo adaptation both ways (the reference's
+    ofdm_adaptive_full_duplex as a deployed two-process system).  Both
+    directions must decode CRC-clean and both ladders converge."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "tools", "sample_link.py"),
+         "--duplex-test", "--pdus", "24", "--pdu-bytes", "30",
+         "--frames-per-block", "4", "--frame-length", "10",
+         "--snr-db", "25", "--seed", "3"],
+        capture_output=True, text=True, timeout=1200, cwd=HERE)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    res = json.loads(r.stdout[r.stdout.index("{"):])
+    assert res["crc_clean_ab"] and res["crc_clean_ba"]
+    assert res["adaptation_converged_ab"] and res["adaptation_converged_ba"]
+    # at 25 dB both directions climb the ladder off BPSK
+    assert res["a"]["final_tx_cnst"] >= 3
+    assert res["b"]["final_tx_cnst"] >= 3
+    # the wants climbed monotonically through the ladder
+    for node in ("a", "b"):
+        hist = res[node]["want_hist"]
+        assert hist == sorted(hist)

@@ -153,6 +153,7 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
     bit_errors = 0
     bits_total = 0
     frame_errors = 0
+    frame_errors_given_hdr = 0
     hdr_ok_total = 0
     n_frames = 0
     n_batches = max_batches if target_frame_errors else 1
@@ -169,6 +170,13 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
         bit_errors += int(e_bits.sum())
         bits_total += B * L * 8
         frame_errors += int(((e_bits > 0) | ~hdr_ok).sum())
+        # decoder-only failures: frames whose header SURVIVED but whose
+        # payload/TB still failed — the low-SNR coded waterfall is
+        # otherwise dominated by header CRC16 loss, conflating two
+        # different mechanisms (the reference separates them:
+        # monitor_dec_msg TBER vs header-level stats,
+        # lib/dtl/proto/monitor_ofdm.proto:3-22)
+        frame_errors_given_hdr += int(((e_bits > 0) & hdr_ok).sum())
         hdr_ok_total += int(hdr_ok.sum())
         n_frames += B
         if target_frame_errors and frame_errors >= target_frame_errors:
@@ -184,6 +192,12 @@ def run_point(cnst_id, snr_db, frames, seed, frame_length, fec_alist=None,
         "frames": n_frames,
         "frame_errors": frame_errors,
         "hdr_ok_rate": hdr_ok_total / n_frames,
+        # the split waterfall: header survival is hdr_ok_rate above;
+        # this is P(frame fails | header decoded) — the decoder's own
+        # performance, free of header-CRC16 pollution
+        "fer_given_hdr": (frame_errors_given_hdr / hdr_ok_total
+                          if hdr_ok_total else None),
+        "frame_errors_given_hdr": frame_errors_given_hdr,
         "theory_ber": th,
         "loss_db": (round(implementation_loss_db(cnst_id, es_n0, ber), 3)
                     if bit_errors >= 10 else None),
@@ -232,9 +246,12 @@ def main():
                           max_batches=args.max_batches)
             rows.append(r)
             loss = f"{r['loss_db']:+.2f} dB" if r["loss_db"] is not None else "  --  "
+            fgh = (f"{r['fer_given_hdr']:.3f}"
+                   if r["fer_given_hdr"] is not None else "--")
             print(f"cnst={r['cnst']} snr={r['snr_db']:5.1f} dB  "
                   f"BER={r['ber']:.2e} (theory {r['theory_ber']:.2e}, "
-                  f"loss {loss})  FER={r['fer']:.2f}", flush=True)
+                  f"loss {loss})  FER={r['fer']:.2f}  "
+                  f"hdr={r['hdr_ok_rate']:.3f}  FER|hdr={fgh}", flush=True)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)

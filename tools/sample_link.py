@@ -19,11 +19,25 @@ this wired setup); the adaptation loop must climb the MCS ladder from
 BPSK to whatever the configured SNR supports, via real decoded feedback
 bursts flowing back over the socket.
 
+Full-duplex mode (--duplex-a / --duplex-b): each node runs a
+``StreamTx`` AND a ``StreamRx`` — OFDM frames flow BOTH ways over the
+same socket and adaptation is **in-band** via the header echo (the
+reference's ``ofdm_adaptive_full_duplex.py:29-43`` deployed as two OS
+processes instead of one in-process session): each node's RX SNR drives
+its MCS decision, which rides its *outgoing* headers as
+``feedback_constellation`` and, decoded by the peer, switches the
+peer's TX constellation.  The protocol is strictly alternating per
+block (A: write fwd, read rev; B: read fwd, write rev), deadlock-free
+for equal block sizes.
+
 Modes:
-  --tx / --rx        one node (connect/listen per --port/--host)
-  --loopback-test    spawn both nodes as subprocesses on localhost,
-                     collect their JSON reports, assert CRC-clean
-                     decode + adaptation convergence, write --out
+  --tx / --rx        one simplex node (connect/listen per --port/--host)
+  --duplex-a / --duplex-b   one full-duplex node (a connects, b listens)
+  --loopback-test    spawn both simplex nodes as subprocesses on
+                     localhost, collect their JSON reports, assert
+                     CRC-clean decode + adaptation convergence, --out
+  --duplex-test      same for the full-duplex pair (both directions
+                     CRC-clean, both adaptation loops converged)
 """
 
 from __future__ import annotations
@@ -187,6 +201,194 @@ def rx_node(args):
     }), flush=True)
 
 
+def duplex_node(args, initiator: bool):
+    """One full-duplex node: StreamTx + StreamRx over one socket,
+    in-band echo adaptation (ref ofdm_adaptive_full_duplex.py:29-43 as
+    a deployed two-process system)."""
+    _cpu_platform()
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import adaptive, session
+    from gr_dtl_tpu.testbed import sample_io
+    from gr_dtl_tpu.utils import config as cfgmod
+
+    role = "a" if initiator else "b"
+    txcfg = cfgmod.make_tx_config(
+        args.config, frame_length=args.frame_length,
+        max_empty_frames=4 * args.frames_per_block)
+    rxcfg = cfgmod.make_rx_config(args.config,
+                                  frame_length=args.frame_length)
+    tx = session.StreamTx(txcfg, frames_per_block=args.frames_per_block)
+    rx = session.StreamRx(rxcfg, frames_per_block=args.frames_per_block)
+    tables = adaptive.build_mcs_tables(rxcfg)
+    fb_state = adaptive.initial_state(rxcfg.initial_mcs_id)
+    cnst_of_mcs = np.asarray(tables["cnst"])
+
+    @jax.jit
+    def fb_scan(state, snrs, mask):
+        def stepf(s, x):
+            snr, m = x
+            ns, mcs = adaptive.feedback_step(s, snr, tables)
+            ns = jax.tree.map(lambda a, b: jnp.where(m, a, b), ns, s)
+            return ns, jnp.where(m, mcs, s.last)
+
+        return jax.lax.scan(stepf, state, (snrs, mask))
+
+    rng = np.random.RandomState(args.seed + (0 if initiator else 1))
+    for _ in range(args.pdus):
+        tx.send(rng.randint(0, 256, args.pdu_bytes).astype(np.uint8)
+                .tobytes())
+
+    if initiator:
+        ep = sample_io.connect(args.host, args.port, timeout=120.0)
+    else:
+        srv, port = sample_io.listen(args.host, args.port)
+        print(f"RX_LISTENING {port}", flush=True)
+        ep = sample_io.accept_endpoint(srv, timeout=120.0)
+        srv.close()
+
+    noise_v = 0.0
+    if args.snr_db is not None:
+        noise_v = float(np.sqrt(0.81 / 10 ** (args.snr_db / 10)))
+
+    n_frames = n_ok = n_payload = n_crc = 0
+    blocks = 0
+    want_hist = []  # local decisions about the INCOMING link
+    applied_hist = []  # peer echoes applied to the OUTGOING link
+    try:
+        while True:
+            if initiator:
+                blk = tx.next_block()
+                if blk is None:
+                    break
+                ep.sink.write(blk[0])
+                chunk = ep.source.read(rx.block_samples)
+                if len(chunk) < rx.block_samples:
+                    break
+            else:
+                chunk = ep.source.read(rx.block_samples)
+                if len(chunk) < rx.block_samples:
+                    break
+                blk = tx.next_block()
+                if blk is None:
+                    break
+                ep.sink.write(blk[0])
+            blocks += 1
+            if noise_v > 0:
+                chunk = chunk + (noise_v / np.sqrt(2)) * (
+                    rng.standard_normal(len(chunk))
+                    + 1j * rng.standard_normal(len(chunk))
+                ).astype(np.complex64)
+            out, valid = rx.process(chunk)
+            ok = np.asarray(out.header_ok) & valid
+            n_frames += int(valid.sum())
+            n_ok += int(ok.sum())
+            has_payload = np.asarray(out.payload_len) > 0
+            n_payload += int((ok & has_payload).sum())
+            n_crc += int((np.asarray(out.crc_ok) & ok & has_payload).sum())
+            if ok.any():
+                # local decision -> echo in OUR headers (peer will
+                # switch); peer's echo in THEIR headers -> our TX MCS
+                fb_state, mcs_seq = fb_scan(fb_state, out.snr_db,
+                                            jnp.asarray(ok))
+                mcs = int(np.asarray(mcs_seq)[np.nonzero(ok)[0][-1]])
+                want = int(cnst_of_mcs[mcs])
+                want_hist.append(want)
+                tx.set_feedback_echo(want)
+                echoes = np.asarray(out.feedback_cnst)[ok]
+                echoes = echoes[echoes > 0]
+                if echoes.size:
+                    applied = int(echoes[-1])
+                    tx.set_feedback(applied)
+                    applied_hist.append(applied)
+    finally:
+        ep.close()
+    print(f"DPX_{role.upper()}_RESULT " + json.dumps({
+        "role": role,
+        "blocks": blocks,
+        "frames": n_frames,
+        "header_ok": n_ok,
+        "payload_frames": n_payload,
+        "payload_crc_ok": n_crc,
+        "lost_frame_rate": rx.lost_frame_rate,
+        "final_tx_cnst": tx.constellation,
+        "want_final": want_hist[-1] if want_hist else None,
+        "want_hist": want_hist[:64],
+        "applied_hist": applied_hist[:64],
+        "samples_sent": int(ep.sink.n_written),
+        "samples_received": int(ep.source.n_read),
+    }), flush=True)
+
+
+def duplex_test(args):
+    """Spawn two full-duplex nodes; assert both directions decode
+    CRC-clean and both in-band adaptation loops converged."""
+    import socket as _socket
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["RUN_MODEM_CPU"] = "1"
+    base = [sys.executable, os.path.abspath(__file__),
+            "--port", str(port),
+            "--frames-per-block", str(args.frames_per_block),
+            "--frame-length", str(args.frame_length),
+            "--pdus", str(args.pdus),
+            "--pdu-bytes", str(args.pdu_bytes),
+            "--seed", str(args.seed)]
+    if args.config:
+        base += ["--config", args.config]
+    if args.snr_db is not None:
+        base += ["--snr-db", str(args.snr_db)]
+    bp = subprocess.Popen(base + ["--duplex-b"], env=env,
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    for line in bp.stdout:
+        if line.startswith("RX_LISTENING"):
+            break
+    ap_ = subprocess.Popen(base + ["--duplex-a"], env=env,
+                           stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT, text=True)
+    a_out = ap_.communicate(timeout=1200)[0]
+    b_out = bp.communicate(timeout=300)[0]
+    if ap_.returncode != 0 or bp.returncode != 0:
+        sys.stderr.write(f"--- a ---\n{a_out}\n--- b ---\n{b_out}\n")
+        raise SystemExit("duplex node process failed")
+    a = json.loads([l for l in a_out.splitlines()
+                    if l.startswith("DPX_A_RESULT ")][-1][13:])
+    b = json.loads([l for l in b_out.splitlines()
+                    if l.startswith("DPX_B_RESULT ")][-1][13:])
+    result = {
+        "transport": "tcp sample stream (complex64), OFDM both ways, "
+                     "in-band echo adaptation",
+        "port": port,
+        "a": a,
+        "b": b,
+        # each node's TX ends on the constellation the PEER decided for
+        # that link (peer's want == our final TX MCS)
+        "adaptation_converged_ab": (b["want_final"] is not None
+                                    and a["final_tx_cnst"]
+                                    == b["want_final"]),
+        "adaptation_converged_ba": (a["want_final"] is not None
+                                    and b["final_tx_cnst"]
+                                    == a["want_final"]),
+        "crc_clean_ab": (b["payload_frames"] > 0
+                         and b["payload_crc_ok"] == b["payload_frames"]),
+        "crc_clean_ba": (a["payload_frames"] > 0
+                         and a["payload_crc_ok"] == a["payload_frames"]),
+    }
+    print(json.dumps(result, indent=2))
+    assert result["crc_clean_ab"], "A->B payload CRC failures"
+    assert result["crc_clean_ba"], "B->A payload CRC failures"
+    assert result["adaptation_converged_ab"], "A->B adaptation diverged"
+    assert result["adaptation_converged_ba"], "B->A adaptation diverged"
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
 def loopback_test(args):
     """Spawn RX (listener) + TX (connector) subprocesses on localhost and
     assert the link: CRC-clean payload decode and MCS convergence."""
@@ -247,7 +449,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tx", action="store_true")
     ap.add_argument("--rx", action="store_true")
+    ap.add_argument("--duplex-a", action="store_true")
+    ap.add_argument("--duplex-b", action="store_true")
     ap.add_argument("--loopback-test", action="store_true")
+    ap.add_argument("--duplex-test", action="store_true")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5660)
     ap.add_argument("--config", default=None)
@@ -265,6 +470,12 @@ def main():
         tx_node(args)
     elif args.rx:
         rx_node(args)
+    elif args.duplex_a:
+        duplex_node(args, initiator=True)
+    elif args.duplex_b:
+        duplex_node(args, initiator=False)
+    elif args.duplex_test:
+        duplex_test(args)
     else:
         loopback_test(args)
 
