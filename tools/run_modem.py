@@ -324,6 +324,12 @@ def run_stream(args):
         if store is not None:
             store.store_batch(out, valid=valid)
 
+    def _rss_mb() -> float:
+        # current resident set (not the getrusage high-water mark): a
+        # soak must see growth, not just the peak
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGESIZE") / 1e6
+
     t0 = _time.monotonic()
     try:
         for chunk in blocks():
@@ -331,6 +337,20 @@ def run_stream(args):
             n_blocks += 1
             if r is not None:
                 consume(r)
+            if args.stats_every and n_blocks % args.stats_every == 0:
+                # long-run soak telemetry: one JSONL line per interval
+                # (the "runs forever" evidence stream; consumed by
+                # tools/soak_link.py)
+                print(json.dumps({
+                    "stat": "stream",
+                    "t_s": round(_time.monotonic() - t0, 3),
+                    "blocks": n_blocks,
+                    "samples": n_blocks * S,
+                    "frames_header_ok": n_hdr,
+                    "frames_crc_ok": n_crc,
+                    "lost_frame_rate": round(rx.lost_frame_rate, 6),
+                    "rss_mb": round(_rss_mb(), 1),
+                }), flush=True)
             if args.max_blocks and n_blocks >= args.max_blocks:
                 break
         if args.pipeline_depth > 1:
@@ -513,6 +533,9 @@ def main():
     p.add_argument("--pipeline-depth", type=int, default=1,
                    help="stream mode: >1 overlaps readback with compute "
                         "(StreamRxPipelined)")
+    p.add_argument("--stats-every", type=int, default=0,
+                   help="stream mode: emit a JSONL stats line every N "
+                        "blocks (soak telemetry: counters + RSS)")
     p.add_argument("--max-blocks", type=int, default=0,
                    help="stream mode: stop after N blocks (0 = until EOF)")
     p.add_argument("--tb-frames", type=int, default=1,
