@@ -114,6 +114,53 @@ def test_loopback_cli_on_chip():
     assert out["crc_ok_rate"] == 1.0
 
 
+@pytest.mark.tpu
+def test_stream_daemon_on_chip(tmp_path):
+    """Bench-lane smoke: the always-on RX daemon's host loop on the
+    real chip — per-block H2D, carried lock state, per-block accounting
+    readback through the retrying fetch.  This is the deployment shape
+    the stream bench measures; a regression here is a production
+    regression regardless of the batch bench."""
+    cap = tmp_path / "capture.c64"
+    subprocess.run(  # capture generated on CPU (the TX daemon)
+        [sys.executable, "tools/run_modem.py", "stream-tx", "--sink",
+         f"file:{cap}", "--frame-length", "10", "--frames-per-block",
+         "4", "--pdus", "8", "--pdu-bytes", "30", "--max-blocks", "2",
+         "--json"],
+        check=True, capture_output=True, cwd=HERE, timeout=420,
+        env={**os.environ, "RUN_MODEM_CPU": "1"})
+    env = dict(os.environ)
+    env.pop("RUN_MODEM_CPU", None)  # chip default
+    env.setdefault("GR_DTL_TPU_FETCH_TRIES", "60")
+    res = subprocess.run(
+        [sys.executable, "tools/run_modem.py", "stream", "--source",
+         f"file:{cap}", "--frame-length", "10", "--frames-per-block",
+         "4", "--json"],
+        capture_output=True, text=True, cwd=HERE, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["frames_crc_ok"] >= 4
+    assert out["frames_crc_ok"] == out["frames_header_ok"]
+
+
+@pytest.mark.tpu
+def test_pallas_sync_kernel_on_chip():
+    """Bench-lane smoke: the compiled Mosaic Schmidl-Cox kernel equals
+    the jnp path on the real device (tools/check_pallas.py, subprocess-
+    isolated: on some attachments a Mosaic run wedges that process's
+    device->host path — the wedge must not leak into this process)."""
+    env = dict(os.environ)
+    env.pop("RUN_MODEM_CPU", None)
+    env["GR_DTL_TPU_FETCH_TRIES"] = "60"
+    res = subprocess.run(
+        [sys.executable, "tools/check_pallas.py"],
+        capture_output=True, text=True, cwd=HERE, timeout=600, env=env)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True
+    assert out["streams"]["modulated"]["trigger_phase_equal"]
+
+
 @pytest.mark.slow
 def test_stream_daemon_cli(tmp_path):
     """The always-on RX daemon over a file source: decodes a capture,

@@ -32,6 +32,8 @@ from gr_dtl_tpu.utils.fetch import fetch_float  # noqa: E402
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +41,14 @@ def main():
     from gr_dtl_tpu.ops import channel, constellation as cn, ldpc
     from gr_dtl_tpu.models import fec_chain, receiver, transmitter
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=1024)
+    ap.add_argument("--out", default=None,
+                    help="write the full result as a JSON artifact")
+    ap.add_argument("--no-bf16-ab", action="store_true",
+                    help="skip the bf16-vs-f32 BP A/B measurement")
+    args = ap.parse_args()
+    B = args.batch
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_path = os.path.join(here, "examples", "config_fec.json")
     cfg = cfgmod.make_tx_config(cfg_path, frame_length=20)
@@ -120,11 +129,41 @@ def main():
     dt_bp = (time.perf_counter() - t0) / iters
     info_mbps = CW * code["K"] / dt_bp / 1e6
 
-    print(json.dumps({
+    # ---- bf16 BP A/B (the measurement that decides the default) ------
+    # GR_DTL_TPU_BP_BF16 is read at TRACE time inside decode_mm, so a
+    # fresh jit closure after flipping the env retraces with bf16
+    # incidence matmuls; accuracy cost is pinned separately
+    # (examples/bp_bf16_ablation.json: 0.05% FER at the waterfall knee)
+    bf16 = None
+    if not args.no_bf16_ab:
+        os.environ["GR_DTL_TPU_BP_BF16"] = "1"
+
+        @jax.jit
+        def dec_step_bf16(llr, acc):
+            hard, it, ok = ldpc.decode_mm(llr + acc * 1e-12, code, 15)
+            return acc + jnp.sum(ok).astype(jnp.float32)
+
+        fetch_float(dec_step_bf16(llr, jnp.float32(0)))
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = dec_step_bf16(llr, acc)
+        bp_ok_bf16 = fetch_float(acc)
+        dt_bf16 = (time.perf_counter() - t0) / iters
+        os.environ["GR_DTL_TPU_BP_BF16"] = "0"
+        bf16 = {
+            "bp_step_ms_bf16": round(dt_bf16 * 1e3, 3),
+            "bp_step_ms_f32": round(dt_bp * 1e3, 3),
+            "speedup_bf16": round(dt_bp / dt_bf16, 3),
+            "bp_ok_rate_bf16": round(bp_ok_bf16 / (iters * CW), 4),
+        }
+
+    result = {
         "metric": "fec_path_throughput",
         "coded_rx_msps": round(coded_msps, 2),
         "ldpc_info_mbps": round(info_mbps, 2),
         "unit": "Msamples/s | Mbit/s",
+        "platform": jax.devices()[0].platform,
         "extra": {"frames_per_step": B, "codewords_per_step": CW,
                   "code": f"n={code['N']} k={code['K']}",
                   "coded_crc_rate": round(coded_ok / (iters * B), 4),
@@ -132,7 +171,13 @@ def main():
                   "coded_step_ms": round(dt * 1e3, 3),
                   "bp_step_ms": round(dt_bp * 1e3, 3),
                   "timing": "value-chained, scalar-fetch verified"},
-    }))
+    }
+    if bf16 is not None:
+        result["bf16_ab"] = bf16
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":
