@@ -113,6 +113,46 @@ def test_fec_coding_gain_at_qpsk_switch_point():
     assert coded["frame_errors"] <= 1, coded
 
 
+def test_split_waterfall_knees_in_artifact():
+    """The committed coded waterfall (examples/ber_curves_fec.json)
+    must carry the SPLIT curves — header survival vs TB-given-header —
+    and its knees must sit where the physics puts them.  The reference
+    separates these mechanisms too (monitor_dec_msg TBER vs
+    header-level stats, lib/dtl/proto/monitor_ofdm.proto:3-22); a
+    combined FER at low SNR is ~all header-CRC16 loss and says nothing
+    about the decoder."""
+    import json
+
+    path = os.path.join(os.path.dirname(FEC_ALIST), "ber_curves_fec.json")
+    rows = json.load(open(path))
+    by = {(r["cnst"], r["snr_db"]): r for r in rows}
+    assert all("fer_given_hdr" in r for r in rows), "artifact predates split"
+
+    def fgh(c, s):
+        return by[(c, s)]["fer_given_hdr"]
+
+    # BPSK: the decoder never fails once the header survives — its
+    # whole low-SNR FER is header-limited (the r03 conflation, now
+    # quantified away)
+    for r in rows:
+        if r["cnst"] == 1:
+            assert r["fer_given_hdr"] == 0.0, r
+    # QPSK decoder cliff brackets [3, 5] dB: >=50% conditional TB
+    # failure at 3 dB, <=5% by 5 dB — ~6 dB below the ladder's 11 dB
+    # switch point
+    assert fgh(2, 3.0) >= 0.5
+    assert fgh(2, 5.0) <= 0.05
+    assert fgh(2, 11.0) == 0.0  # clean at the operating point
+    # QAM16 cliff brackets [8, 10] dB (header survives everywhere
+    # there: hdr_ok ~1.0, so this IS the decoder)
+    assert by[(4, 8.0)]["hdr_ok_rate"] >= 0.99
+    assert fgh(4, 8.0) >= 0.1
+    assert fgh(4, 10.0) <= 0.05
+    assert fgh(4, 21.0) == 0.0
+    # 8PSK already clean by its grid start; clean at the 16 dB point
+    assert fgh(3, 16.0) == 0.0
+
+
 def test_default_alpha_beats_reference_alpha():
     """Regression pin for the documented deviation: at the 8PSK
     threshold the default eq_alpha=0.8 must outperform the
