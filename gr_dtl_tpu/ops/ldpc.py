@@ -203,7 +203,7 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
         bits_at_checks = jnp.where(chk_mask[None], hard[:, safe_adj], 0)
         return jnp.all(jnp.sum(bits_at_checks, axis=-1) % 2 == 0, axis=-1)
 
-    def body(carry, _):
+    def run_iter(carry):
         c2v, iters_used, done = carry
         inc = gather_c2v_for_vars(c2v)  # [B, N, C]
         inc = jnp.where(var_mask[None], inc, 0.0)
@@ -218,7 +218,12 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
         # TPU compiler on this graph, so the loop is a fixed-length scan)
         c2v = jnp.where(done[:, None, None], c2v, new_c2v)
         iters_used = iters_used + (~done).astype(jnp.int32)
-        return (c2v, iters_used, done), None
+        return (c2v, iters_used, done)
+
+    def body(carry, _):
+        # batch-wide early exit on a scalar predicate (see decode_mm)
+        return jax.lax.cond(jnp.all(carry[2]), lambda c: c, run_iter,
+                            carry), None
 
     c2v0 = jnp.zeros((B, M, R), jnp.float32)
     iters0 = jnp.zeros((B,), jnp.int32)
@@ -274,7 +279,7 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
         synd = mm(hard, Htf.T)                # [B, M] (counts, exact: 0/1
         return jnp.all(synd % 2.0 == 0.0, axis=-1)  # inputs, f32 accum)
 
-    def body(carry, _):
+    def run_iter(carry):
         c2v, iters_used, done = carry         # c2v: [B, E]
         total = llr + mm(c2v, Vmat.T)         # [B, N]
         done = done | syndrome_ok_of(total)
@@ -291,7 +296,25 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
         new_c2v = 2.0 * jnp.arctanh(loo)
         c2v = jnp.where(done[:, None], c2v, new_c2v)
         iters_used = iters_used + (~done).astype(jnp.int32)
-        return (c2v, iters_used, done), None
+        return (c2v, iters_used, done)
+
+    def body(carry, _):
+        # batch-wide early exit, matching the reference decoder's
+        # convergence stop (gr-fec awgn_bp via ldpc_dec.cc:24-71): once
+        # every codeword's syndrome passed, remaining scan iterations
+        # reduce to a scalar-predicate branch that skips the
+        # transcendental-heavy message update entirely.  The hot loop
+        # is VPU-bound (tanh/log/exp/arctanh on [B, E]), so at
+        # operating SNR — where convergence takes 1-3 iterations — this
+        # is a multiple-x throughput win over running all max_iters.
+        # Shortened/padded codewords hold LLR=+SHORTENED_LLR everywhere
+        # => the all-zeros codeword => done at the first syndrome
+        # check, so padding never blocks the exit.  (A per-codeword
+        # while_loop would exit earlier still but SEGFAULTs the remote
+        # TPU compiler on BP-sized graphs; scan + scalar cond is the
+        # compileable form.)
+        return jax.lax.cond(jnp.all(carry[2]), lambda c: c, run_iter,
+                            carry), None
 
     c2v0 = jnp.zeros((B, int(code["E"])), jnp.float32)
     (c2v, iters_used, done), _ = jax.lax.scan(
@@ -472,7 +495,7 @@ def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,
         bits_at_checks = jnp.where(chk_mask, hard[b_ix, safe_adj], 0)
         return jnp.all(jnp.sum(bits_at_checks, axis=-1) % 2 == 0, axis=-1)
 
-    def body(carry, _):
+    def run_iter(carry):
         c2v, iters_used, done = carry
         inc = c2v[b_ix, ve_chk, ve_slot]  # [B, N, D]
         inc = jnp.where(var_mask, inc, 0.0)
@@ -483,7 +506,12 @@ def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,
         new_c2v = check_update(v2c)
         c2v = jnp.where(done[:, None, None], c2v, new_c2v)
         iters_used = iters_used + (~done).astype(jnp.int32)
-        return (c2v, iters_used, done), None
+        return (c2v, iters_used, done)
+
+    def body(carry, _):
+        # batch-wide early exit on a scalar predicate (see decode_mm)
+        return jax.lax.cond(jnp.all(carry[2]), lambda c: c, run_iter,
+                            carry), None
 
     c2v0 = jnp.zeros((B, M, R), jnp.float32)
     (c2v, iters_used, done), _ = jax.lax.scan(
