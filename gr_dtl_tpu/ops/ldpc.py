@@ -257,8 +257,12 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
     bfloat16 inputs and float32 accumulation (the MXU's native mode).
     The 0/1 incidence matrices and sign counts are exact in bf16; only
     the log-magnitude messages lose ~8 mantissa bits, which sum-product
-    BP tolerates.  Off by default pending an on-chip BER ablation; the
-    syndrome check stays exact either way.
+    BP tolerates (accuracy pinned: examples/bp_bf16_ablation.json,
+    0.05% FER at the waterfall knee).  **Measured on-chip 2026-08-21
+    (BENCH_fec_r04.json bf16_ab): 0.98x at CW=2048 — no win, because
+    the loop is VPU-transcendental-bound, not MXU-bound — so f32 stays
+    the default on evidence, not caution.**  The syndrome check stays
+    exact either way.
     """
     import os
 
