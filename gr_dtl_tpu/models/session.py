@@ -50,6 +50,22 @@ __all__ = ["StreamRx", "StreamRxPipelined", "StreamTx", "StreamDuplex",
            "StreamBurstRx", "StreamSimplex"]
 
 
+class BlockMasks(np.ndarray):
+    """The per-block validity mask, with the block's other per-frame
+    masks riding along as attributes (``header_ok``, ``crc_ok``).
+
+    All three come out of ONE packed device fetch per block
+    (StreamRx._readback); attaching them to the returned ``valid``
+    array keeps them tied to *their* block even when readbacks are
+    pipelined/drained out of order — session-level ``last_*``
+    attributes would hold only the most recent block's masks there.
+    Behaves exactly like a bool ndarray for existing callers.
+    """
+
+    header_ok: np.ndarray
+    crc_ok: np.ndarray
+
+
 class StreamRx:
     """Feed me sample chunks; I emit per-frame RxOut batches.
 
@@ -106,6 +122,12 @@ class StreamRx:
         self._expected_no = jnp.asarray(-1, jnp.int32)
         self.n_lost = 0
         self.n_frames = 0
+        # per-frame masks of the most recently read-back block (numpy,
+        # set by _readback's single packed fetch) — consumers use these
+        # instead of re-fetching out.header_ok / out.crc_ok
+        self.last_valid = np.zeros(self.F, bool)
+        self.last_header_ok = np.zeros(self.F, bool)
+        self.last_crc_ok = np.zeros(self.F, bool)
         self._step = self._build_step()
 
     def _build_step(self):
@@ -173,7 +195,17 @@ class StreamRx:
 
             expected_no, losts = jax.lax.scan(
                 acct, expected_no, (out.frame_no, ok))
-            acct_v = jnp.stack([jnp.sum(losts), jnp.sum(ok)])
+            # ONE packed accounting vector per block: [lost, received,
+            # valid[F], header_ok[F], crc_ok[F]] — every per-block host
+            # fact rides a single device->host fetch (each separate
+            # fetch is a full attachment round trip; the daemon loop
+            # used to pay four of them per block)
+            acct_v = jnp.concatenate([
+                jnp.stack([jnp.sum(losts), jnp.sum(ok)]),
+                valid.astype(jnp.int32),
+                out.header_ok.astype(jnp.int32),
+                out.crc_ok.astype(jnp.int32),
+            ])
             return (out, valid, lock_state, new_fallback, expected_no,
                     acct_v, tb_state, tb_out)
 
@@ -205,13 +237,23 @@ class StreamRx:
 
     def _readback(self, out, valid, acct, tb_out):
         # robust readback: the dev tunnel's device->host copies are
-        # intermittently flaky (utils/fetch docstring)
+        # intermittently flaky (utils/fetch docstring).  ONE fetch
+        # carries everything the host loop needs per block; the
+        # per-frame masks are cached on the session
+        # (last_valid/last_header_ok/last_crc_ok) so consumers don't
+        # re-fetch out.header_ok / out.crc_ok.
+        F = self.F
         a = fetch_np(acct)
         self.n_lost += int(a[0])
         self.n_frames += int(a[0]) + int(a[1])
-        valid = fetch_np(valid)
+        valid = a[2: 2 + F].astype(bool).view(BlockMasks)
+        valid.header_ok = a[2 + F: 2 + 2 * F].astype(bool)
+        valid.crc_ok = a[2 + 2 * F: 2 + 3 * F].astype(bool)
+        self.last_valid = valid
+        self.last_header_ok = valid.header_ok
+        self.last_crc_ok = valid.crc_ok
         if self.probe is not None:
-            ok = fetch_np(out.header_ok) & valid
+            ok = valid.header_ok & valid
             msgs = self._mon.eq_messages(out, self.lost_frame_rate)
             for i in np.nonzero(ok)[0]:
                 self.probe.send(self._eq_builder.build(msgs[int(i)]))
@@ -501,7 +543,7 @@ class StreamSimplex:
             return None
         samples, _info = blk
         out, valid = self.rx.process(fetch_np(self.chan_fwd(samples)))
-        ok = fetch_np(out.header_ok) & valid
+        ok = valid.header_ok & valid
 
         # RX node: decision on decoded frames -> feedback burst
         rev = np.zeros(self.rev_block, np.complex64)
@@ -607,7 +649,7 @@ class StreamDuplex:
         if disp is None:
             return None, fb_state, None
         out, valid = rx._readback(*disp)[:2]
-        ok = fetch_np(out.header_ok) & valid
+        ok = valid.header_ok & valid
         # adaptation: decisions only on decoded frames (ref: feedback
         # comes from the equalizer only when a frame was received)
         echo_mcs = None

@@ -313,12 +313,16 @@ def run_stream(args):
 
     def consume(r):
         # count/store per result as it lands — a daemon must not hold
-        # every block's device buffers until shutdown
+        # every block's device buffers until shutdown.  The per-frame
+        # masks come from the session's single packed accounting fetch
+        # (rx.last_*) — zero additional device round trips per block.
         nonlocal n_hdr, n_crc
         out, valid = r[0], r[1]
-        ok = fetch_np(out.header_ok) & valid
+        # masks ride the valid array (BlockMasks) so they stay tied to
+        # THIS block even when pipelined readbacks are drained in bulk
+        ok = valid.header_ok & valid
         n_hdr += int(ok.sum())
-        n_crc += int((fetch_np(out.crc_ok) & valid).sum())
+        n_crc += int((valid.crc_ok & valid).sum())
         if len(r) > 2:
             consume_tb(r[2])
         if store is not None:

@@ -165,14 +165,14 @@ def rx_node(args):
                     + 1j * rng.standard_normal(len(chunk))
                 ).astype(np.complex64)
             out, valid = rx.process(chunk)
-            ok = np.asarray(out.header_ok) & valid
+            ok = valid.header_ok & valid
             n_frames += int(valid.sum())
             n_ok += int(ok.sum())
             # CRC gate only counts frames that carry payload (empty
             # keepalive frames have no CRC to pass)
             has_payload = np.asarray(out.payload_len) > 0
             n_payload += int((ok & has_payload).sum())
-            n_crc += int((np.asarray(out.crc_ok) & ok & has_payload).sum())
+            n_crc += int((valid.crc_ok & ok & has_payload).sum())
 
             rev = np.zeros(args.rev_block, np.complex64)
             if ok.any():
@@ -280,12 +280,12 @@ def duplex_node(args, initiator: bool):
                     + 1j * rng.standard_normal(len(chunk))
                 ).astype(np.complex64)
             out, valid = rx.process(chunk)
-            ok = np.asarray(out.header_ok) & valid
+            ok = valid.header_ok & valid
             n_frames += int(valid.sum())
             n_ok += int(ok.sum())
             has_payload = np.asarray(out.payload_len) > 0
             n_payload += int((ok & has_payload).sum())
-            n_crc += int((np.asarray(out.crc_ok) & ok & has_payload).sum())
+            n_crc += int((valid.crc_ok & ok & has_payload).sum())
             if ok.any():
                 # local decision -> echo in OUR headers (peer will
                 # switch); peer's echo in THEIR headers -> our TX MCS
