@@ -328,6 +328,14 @@ def test_stream_rx_pipelined_matches_plain():
     n_ok = 0
     for (o_a, v_a), (o_b, v_b) in zip(plain, piped):
         np.testing.assert_array_equal(v_a, v_b)
+        # the block-tied masks (BlockMasks) must match the device truth
+        # PER BLOCK even through drain(), where every readback runs
+        # before any consumer sees a result (regression: session-level
+        # last_* held only the final drained block's masks)
+        np.testing.assert_array_equal(v_b.header_ok,
+                                      np.asarray(o_b.header_ok))
+        np.testing.assert_array_equal(v_b.crc_ok, np.asarray(o_b.crc_ok))
+        np.testing.assert_array_equal(v_a.header_ok, v_b.header_ok)
         np.testing.assert_array_equal(np.asarray(o_a.crc_ok),
                                       np.asarray(o_b.crc_ok))
         np.testing.assert_array_equal(np.asarray(o_a.frame_no),
