@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Gate a chip-bound command on tunnel health, then exec it.
+
+Failure mode this exists for (observed repeatedly on the axon dev
+tunnel): a process whose TPU runtime client is created during a tunnel
+outage never recovers — every later fetch fails UNIMPLEMENTED or hangs
+even after the tunnel returns — while a FRESH process works fine.  So
+benches must be *born healthy*: this wrapper probes the device with a
+tiny compile+fetch in a disposable subprocess (short timeout), retries
+until one succeeds, then immediately execs the real command in a new
+process.
+
+Usage:  python tools/chip_gate.py [--budget-s 3600] -- CMD [ARGS...]
+Exits with the command's status, or 75 (EX_TEMPFAIL) if the budget
+expires without ever seeing a healthy tunnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+PROBE = (
+    "import jax, jax.numpy as jnp;"
+    "print(float((jnp.ones(128) * 3).sum()))"
+)
+
+
+def probe_once(timeout_s: float) -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return r.returncode == 0 and "384" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-s", type=float, default=3600.0,
+                    help="total time to wait for a healthy tunnel")
+    ap.add_argument("--probe-timeout-s", type=float, default=90.0)
+    ap.add_argument("--interval-s", type=float, default=30.0,
+                    help="wait between failed probes")
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- CMD ARGS... to exec once healthy")
+    args = ap.parse_args()
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        sys.exit("usage: chip_gate.py [--budget-s N] -- CMD [ARGS...]")
+
+    deadline = time.monotonic() + args.budget_s
+    n = 0
+    while time.monotonic() < deadline:
+        n += 1
+        t0 = time.monotonic()
+        if probe_once(args.probe_timeout_s):
+            sys.stderr.write(
+                f"chip_gate: tunnel healthy after {n} probe(s); exec\n")
+            os.execvp(cmd[0], cmd)
+        sys.stderr.write(
+            f"chip_gate: probe {n} failed "
+            f"({time.monotonic() - t0:.0f}s); retrying\n")
+        time.sleep(args.interval_s)
+    sys.stderr.write("chip_gate: budget expired, tunnel never healthy\n")
+    sys.exit(75)
+
+
+if __name__ == "__main__":
+    main()
