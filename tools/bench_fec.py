@@ -47,7 +47,12 @@ def main():
                     help="write the full result as a JSON artifact")
     ap.add_argument("--no-bf16-ab", action="store_true",
                     help="skip the bf16-vs-f32 BP A/B measurement")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (mechanics check; "
+                         "numbers only mean something on the chip)")
     args = ap.parse_args()
+    if args.cpu or os.environ.get("RUN_MODEM_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
     B = args.batch
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_path = os.path.join(here, "examples", "config_fec.json")
@@ -85,18 +90,20 @@ def main():
     # is a no-op on the axon tunnel (see bench.py)
     @jax.jit
     def rx_step(s, acc):
-        s = s * jnp.exp(1j * acc * 1e-12)
+        s = s * jnp.exp(1j * acc[0] * 1e-12)
         frames, _ = receiver.detect_and_extract(s, rxcfg, B)
         r = receiver.rx_frames(rxp, frames)
-        return acc + jnp.sum(r.crc_ok).astype(jnp.float32)
+        return jnp.stack([acc[0] + jnp.sum(r.crc_ok).astype(jnp.float32),
+                          acc[1] + jnp.mean(r.avg_iters)])
 
-    fetch_float(rx_step(stream, jnp.float32(0)))
+    fetch_float(rx_step(stream, jnp.zeros(2))[0])
     iters = 8
-    acc = jnp.float32(0)
+    acc = jnp.zeros(2)
     t0 = time.perf_counter()
     for _ in range(iters):
         acc = rx_step(stream, acc)
-    coded_ok = fetch_float(acc)
+    coded_ok = fetch_float(acc[0])
+    coded_avg_it = fetch_float(acc[1]) / iters
     dt = (time.perf_counter() - t0) / iters
     coded_msps = n_samples / dt / 1e6
 
@@ -166,6 +173,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "extra": {"frames_per_step": B, "codewords_per_step": CW,
                   "code": f"n={code['N']} k={code['K']}",
+                  "coded_avg_bp_iters": round(coded_avg_it, 2),
                   "coded_crc_rate": round(coded_ok / (iters * B), 4),
                   "bp_ok_rate": round(bp_ok / (iters * CW), 4),
                   "coded_step_ms": round(dt * 1e3, 3),
