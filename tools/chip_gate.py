@@ -28,13 +28,33 @@ PROBE = (
     "print(float((jnp.ones(128) * 3).sum()))"
 )
 
+# a sickly tunnel can pass the tiny probe yet still fail real work
+# (observed: 128-element fetch OK while a receiver-graph compile +
+# 5-int fetch dies UNIMPLEMENTED).  --heavy probes with a
+# representative slice: a real StreamRx block step + accounting fetch.
+HEAVY_PROBE = r"""
+import numpy as np, jax
+sys_ok = False
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.models import session
+rx = session.StreamRx(cfgmod.make_rx_config(None, frame_length=10),
+                      frames_per_block=2)
+out, valid = rx.process(np.zeros(rx.block_samples, np.complex64))
+print("HEAVY_OK", int(valid.sum()))
+"""
 
-def probe_once(timeout_s: float) -> bool:
+
+def probe_once(timeout_s: float, heavy: bool = False) -> bool:
+    code, want = (HEAVY_PROBE, "HEAVY_OK") if heavy else (PROBE, "384")
+    env = dict(os.environ)
+    env["GR_DTL_TPU_FETCH_TRIES"] = "2"  # the gate retries, not the probe
     try:
-        r = subprocess.run([sys.executable, "-c", PROBE],
+        r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,
-                           timeout=timeout_s)
-        return r.returncode == 0 and "384" in r.stdout
+                           timeout=timeout_s, env=env,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        return r.returncode == 0 and want in r.stdout
     except subprocess.TimeoutExpired:
         return False
 
@@ -44,6 +64,9 @@ def main():
     ap.add_argument("--budget-s", type=float, default=3600.0,
                     help="total time to wait for a healthy tunnel")
     ap.add_argument("--probe-timeout-s", type=float, default=90.0)
+    ap.add_argument("--heavy", action="store_true",
+                    help="probe with a real receiver block step instead "
+                         "of a tiny op (catches sickly-but-alive tunnels)")
     ap.add_argument("--interval-s", type=float, default=30.0,
                     help="wait between failed probes")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
@@ -60,7 +83,7 @@ def main():
     while time.monotonic() < deadline:
         n += 1
         t0 = time.monotonic()
-        if probe_once(args.probe_timeout_s):
+        if probe_once(args.probe_timeout_s, heavy=args.heavy):
             sys.stderr.write(
                 f"chip_gate: tunnel healthy after {n} probe(s); exec\n")
             os.execvp(cmd[0], cmd)
