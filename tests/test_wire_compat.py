@@ -126,6 +126,51 @@ def test_foreign_constants_loopback(tmp_path, clean_wire_state, ctype):
     assert _loopback_ok(ctype=ctype)
 
 
+def test_foreign_constants_coded_loopback(tmp_path, clean_wire_state):
+    """FEC path under foreign constants: the soft demap must follow the
+    foreign label tables (generic table LLRs), or the LDPC decoder gets
+    scrambled bit mappings and every TB fails."""
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import fec_chain, receiver, transmitter
+    from gr_dtl_tpu.utils import alist as alist_mod
+
+    path = tmp_path / "foreign.json"
+    path.write_text(json.dumps(_foreign_constants()))
+    wire_compat.activate(str(path))
+    cfg = cfgmod.make_tx_config(None, frame_length=10, fec=True)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10, fec=True)
+    H = alist_mod.load_alist(os.path.join(HERE, "examples",
+                                          "n_0100_k_0027.alist"))
+    fec = fec_chain.build_fec(cfg, H)
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(rxcfg, fec)
+    rng = np.random.RandomState(11)
+    B = 4
+    ctype = 4  # QAM16: the most label-sensitive table
+    cnst = np.full((B,), ctype, np.int32)
+    nbytes = int(fec["user_bytes_tab"][4])
+    payload = np.zeros((B, fec["max_payload_bytes"]), np.uint8)
+    plen = np.full((B,), nbytes, np.int32)
+    for i in range(B):
+        payload[i, :nbytes] = rng.randint(0, 256, nbytes)
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0))
+    stream = jnp.concatenate([jnp.zeros(211, jnp.complex64),
+                              out.samples.reshape(-1),
+                              jnp.zeros(400, jnp.complex64)])
+    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
+    stream = channel.awgn(jax.random.PRNGKey(4), stream,
+                          float(np.sqrt(sig / 10 ** (25 / 10))))
+    frames, _ = receiver.detect_and_extract(stream, rxcfg, B)
+    rx = receiver.rx_frames(rxp, frames)
+    assert bool(jnp.all(rx.header_ok))
+    assert bool(jnp.all(rx.crc_ok)), "coded TBs failed under wire tables"
+    np.testing.assert_array_equal(
+        np.asarray(rx.payload)[:, :nbytes], payload[:, :nbytes])
+
+
 def test_foreign_soft_path_matches_table_oracle(clean_wire_state):
     """In wire mode, soft_llrs must be the generic table reduction."""
     d = _foreign_constants()
