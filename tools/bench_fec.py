@@ -74,16 +74,13 @@ def main():
         payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
 
     @jax.jit
-    def make_stream(payload, plen, cnst, frame_no, key):
+    def make_stream(payload, plen, cnst, frame_no, key, noise_v):
         out = transmitter.tx_frames(txp, payload, plen, cnst,
                                     jnp.zeros(B, jnp.int32), frame_no, key)
-        return channel.awgn(jax.random.PRNGKey(1), out.samples.reshape(-1),
-                            0.05)
+        s = out.samples.reshape(-1)
+        return (channel.awgn(jax.random.PRNGKey(1), s, noise_v),
+                jnp.mean(jnp.abs(s) ** 2))
 
-    stream = make_stream(jnp.asarray(payload), jnp.asarray(plen),
-                         jnp.asarray(cnst),
-                         jnp.arange(B, dtype=jnp.int32) % 4096,
-                         jax.random.PRNGKey(0))
     n_samples = B * rxcfg.frame_samples
 
     # value-chained timing with a final scalar fetch — block_until_ready
@@ -96,16 +93,50 @@ def main():
         return jnp.stack([acc[0] + jnp.sum(r.crc_ok).astype(jnp.float32),
                           acc[1] + jnp.mean(r.avg_iters)])
 
-    fetch_float(rx_step(stream, jnp.zeros(2))[0])
+    # calibrate: SNR labels against the MEASURED stream power (QPSK x0.5
+    # frames run ~0.28, not the 0.81 of mixed traffic — a fixed-power
+    # assumption mislabels the operating point by ~4.5 dB)
+    _, sig_p = make_stream(jnp.asarray(payload), jnp.asarray(plen),
+                           jnp.asarray(cnst),
+                           jnp.arange(B, dtype=jnp.int32) % 4096,
+                           jax.random.PRNGKey(0), jnp.float32(0.0))
+    sig_p = fetch_float(sig_p)
+
+    def coded_point(snr_db, iters=8):
+        """One coded-RX measurement at a channel SNR.  The early-exit
+        decoder makes throughput SNR-dependent (as the reference's
+        awgn_bp convergence stop does): clean air converges in ~0-2
+        iterations, the waterfall burns the full budget — so the bench
+        reports a sweep, not one flattering point."""
+        noise_v = float(np.sqrt(sig_p / 10 ** (snr_db / 10)))
+        stream, _ = make_stream(jnp.asarray(payload), jnp.asarray(plen),
+                                jnp.asarray(cnst),
+                                jnp.arange(B, dtype=jnp.int32) % 4096,
+                                jax.random.PRNGKey(0),
+                                jnp.float32(noise_v))
+        fetch_float(rx_step(stream, jnp.zeros(2))[0])
+        acc = jnp.zeros(2)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = rx_step(stream, acc)
+        ok = fetch_float(acc[0])
+        avg_it = fetch_float(acc[1]) / iters
+        dt = (time.perf_counter() - t0) / iters
+        return {"noise_v": round(noise_v, 4), "snr_db": snr_db,
+                "msps": round(n_samples / dt / 1e6, 2),
+                "step_ms": round(dt * 1e3, 3),
+                "crc_rate": round(ok / (iters * B), 4),
+                "avg_bp_iters": round(avg_it, 2)}
+
+    # headline: clean air (25 dB); sweep adds the QPSK ladder operating
+    # point (11 dB) and the near-cliff regime (6 dB at frame_length 20)
+    sweep = [coded_point(s) for s in (25.0, 11.0, 6.0)]
+    head = sweep[0]
+    coded_msps = head["msps"]
+    coded_avg_it = head["avg_bp_iters"]
+    coded_ok = head["crc_rate"] * 8 * B
+    dt = head["step_ms"] / 1e3
     iters = 8
-    acc = jnp.zeros(2)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = rx_step(stream, acc)
-    coded_ok = fetch_float(acc[0])
-    coded_avg_it = fetch_float(acc[1]) / iters
-    dt = (time.perf_counter() - t0) / iters
-    coded_msps = n_samples / dt / 1e6
 
     # ---- raw BP decoder throughput -----------------------------------
     code = ldpc.build_ldpc(H)
@@ -171,6 +202,7 @@ def main():
         "ldpc_info_mbps": round(info_mbps, 2),
         "unit": "Msamples/s | Mbit/s",
         "platform": jax.devices()[0].platform,
+        "coded_snr_sweep": sweep,
         "extra": {"frames_per_step": B, "codewords_per_step": CW,
                   "code": f"n={code['N']} k={code['K']}",
                   "coded_avg_bp_iters": round(coded_avg_it, 2),
