@@ -283,10 +283,8 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
         synd = mm(hard, Htf.T)                # [B, M] (counts, exact: 0/1
         return jnp.all(synd % 2.0 == 0.0, axis=-1)  # inputs, f32 accum)
 
-    def run_iter(carry):
-        c2v, iters_used, done = carry         # c2v: [B, E]
-        total = llr + mm(c2v, Vmat.T)         # [B, N]
-        done = done | syndrome_ok_of(total)
+    def msg_update(args):
+        c2v, total, done = args
         v2c = mm(total, Vmat) - c2v           # leave-one-out at variables
         t = jnp.tanh(jnp.clip(v2c, -20.0, 20.0) / 2.0)
         mag = jnp.log(jnp.maximum(jnp.abs(t), 1e-12))
@@ -298,7 +296,17 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
         sign = 1.0 - 2.0 * (loo_neg % 2.0)
         loo = jnp.clip(sign * jnp.exp(loo_mag), -0.999999, 0.999999)
         new_c2v = 2.0 * jnp.arctanh(loo)
-        c2v = jnp.where(done[:, None], c2v, new_c2v)
+        return jnp.where(done[:, None], c2v, new_c2v)
+
+    def run_iter(carry):
+        c2v, iters_used, done = carry         # c2v: [B, E]
+        total = llr + mm(c2v, Vmat.T)         # [B, N]
+        done = done | syndrome_ok_of(total)
+        # if THIS syndrome check completed the batch, the message
+        # update is frozen everywhere — skip its transcendental pass
+        # in the same iteration, not just from the next one on
+        c2v = jax.lax.cond(jnp.all(done), lambda a: a[0], msg_update,
+                           (c2v, total, done))
         iters_used = iters_used + (~done).astype(jnp.int32)
         return (c2v, iters_used, done)
 
