@@ -268,6 +268,10 @@ def main():
                          "non-CPU device (tunnel-risky)")
     ap.add_argument("--no-duplex-ab", action="store_true",
                     help="skip the serialized-readback duplex row")
+    ap.add_argument("--stream-cache", default=None,
+                    help="npy path: reuse/persist the generated input "
+                         "stream (CPU-side work; caching it keeps short "
+                         "attachment health windows for device work)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -284,7 +288,12 @@ def main():
     txcfg = cfgmod.make_tx_config(None, frame_length=args.frame_length)
     rxcfg = cfgmod.make_rx_config(None, frame_length=args.frame_length)
 
-    stream = _make_stream(txcfg, 256)
+    if args.stream_cache and os.path.exists(args.stream_cache):
+        stream = np.load(args.stream_cache)
+    else:
+        stream = _make_stream(txcfg, 256)
+        if args.stream_cache:
+            np.save(args.stream_cache, stream)
     rows = []
     for fpb in (int(x) for x in args.sizes.split(",")):
         r = bench_stream_rx_accumulate(rxcfg, stream, fpb, args.blocks)
