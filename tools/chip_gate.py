@@ -48,6 +48,11 @@ def probe_once(timeout_s: float, heavy: bool = False) -> bool:
     code, want = (HEAVY_PROBE, "HEAVY_OK") if heavy else (PROBE, "384")
     env = dict(os.environ)
     env["GR_DTL_TPU_FETCH_TRIES"] = "2"  # the gate retries, not the probe
+    # mirror the gated benches' env: the Mosaic kernel wedges this
+    # attachment's device->host path, and the stream benches pin the
+    # jnp sync path — the probe must not fail a good window over a
+    # pathology the bench won't hit
+    env.setdefault("GR_DTL_TPU_PALLAS", "0")
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,
