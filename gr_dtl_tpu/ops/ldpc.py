@@ -203,12 +203,8 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
         bits_at_checks = jnp.where(chk_mask[None], hard[:, safe_adj], 0)
         return jnp.all(jnp.sum(bits_at_checks, axis=-1) % 2 == 0, axis=-1)
 
-    def run_iter(carry):
-        c2v, iters_used, done = carry
-        inc = gather_c2v_for_vars(c2v)  # [B, N, C]
-        inc = jnp.where(var_mask[None], inc, 0.0)
-        total = llr + jnp.sum(inc, axis=-1)  # [B, N]
-        done = done | syndrome_ok_of(total)
+    def msg_update(args):
+        c2v, inc, total, done = args
         # v2c = total - incoming (leave-one-out), per edge
         v2c_var = total[:, :, None] - inc  # [B, N, C]
         v2c = v2c_var[:, rev_var, rev_slot]  # [B, M, R]
@@ -216,7 +212,17 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
         # freeze messages once converged (early-exit semantics; a
         # data-dependent while_loop would exit earlier but SEGFAULTs the
         # TPU compiler on this graph, so the loop is a fixed-length scan)
-        c2v = jnp.where(done[:, None, None], c2v, new_c2v)
+        return jnp.where(done[:, None, None], c2v, new_c2v)
+
+    def run_iter(carry):
+        c2v, iters_used, done = carry
+        inc = gather_c2v_for_vars(c2v)  # [B, N, C]
+        inc = jnp.where(var_mask[None], inc, 0.0)
+        total = llr + jnp.sum(inc, axis=-1)  # [B, N]
+        done = done | syndrome_ok_of(total)
+        # skip the update in the converging iteration too (see decode_mm)
+        c2v = jax.lax.cond(jnp.all(done), lambda a: a[0], msg_update,
+                           (c2v, inc, total, done))
         iters_used = iters_used + (~done).astype(jnp.int32)
         return (c2v, iters_used, done)
 
@@ -507,16 +513,22 @@ def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,
         bits_at_checks = jnp.where(chk_mask, hard[b_ix, safe_adj], 0)
         return jnp.all(jnp.sum(bits_at_checks, axis=-1) % 2 == 0, axis=-1)
 
+    def msg_update(args):
+        c2v, inc, total, done = args
+        v2c_var = total[:, :, None] - inc  # [B, N, D]
+        v2c = v2c_var[b_ix, rev_var, rev_slot]  # [B, M, R]
+        new_c2v = check_update(v2c)
+        return jnp.where(done[:, None, None], c2v, new_c2v)
+
     def run_iter(carry):
         c2v, iters_used, done = carry
         inc = c2v[b_ix, ve_chk, ve_slot]  # [B, N, D]
         inc = jnp.where(var_mask, inc, 0.0)
         total = llr + jnp.sum(inc, axis=-1)
         done = done | syndrome_ok_of(total)
-        v2c_var = total[:, :, None] - inc  # [B, N, D]
-        v2c = v2c_var[b_ix, rev_var, rev_slot]  # [B, M, R]
-        new_c2v = check_update(v2c)
-        c2v = jnp.where(done[:, None, None], c2v, new_c2v)
+        # skip the update in the converging iteration too (see decode_mm)
+        c2v = jax.lax.cond(jnp.all(done), lambda a: a[0], msg_update,
+                           (c2v, inc, total, done))
         iters_used = iters_used + (~done).astype(jnp.int32)
         return (c2v, iters_used, done)
 
