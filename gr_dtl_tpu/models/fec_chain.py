@@ -46,16 +46,13 @@ from gr_dtl_tpu.ops import gf2, ldpc, repack
 
 # Bank-decoder form switch: banks up to this many codes take the dense
 # matmul-form BP (MXU-resident, n_codes x redundant FLOPs), larger
-# banks the gather form.  Measured on the chip 2026-08-20
-# (tools/bench_bank_switch.py -> examples/bank_switch_bench.json): the
-# mm form wins by ~150x at every bank size PROBED — n_codes in
-# {1,2,4,6,8} copies of n=300; gather ~588 ms vs mm 3.4-4.3 ms, no
-# crossover found.  The default of 32 extrapolates beyond the measured
-# range: mm cost grows ~linearly with bank size from a 150x head
-# start, so the projected crossover sits far above 32, and any bank
-# the reference ships (1-3 codes, ldpc_enc.cc:21-30) is deep inside
-# the measured region.  Regenerate with --sizes 1,2,4,8,16,32 to pin
-# the extrapolated region; override per deployment via env.
+# banks the gather form.  Measured on the chip 2026-08-21 with the
+# early-exit decoders (tools/bench_bank_switch.py --sizes 1,2,4,8,16,32
+# -> examples/bank_switch_bench.json): mm wins 10-17x at every bank
+# size 1..32 (gather ~56 ms vs mm 3.3-6.5 ms), no crossover — the
+# default sits fully inside the measured range, and any bank the
+# reference ships (1-3 codes, ldpc_enc.cc:21-30) is deep inside it.
+# Override per deployment via env.
 BANK_MM_MAX_CODES = int(os.environ.get("GR_DTL_TPU_BANK_MM_MAX", "32"))
 
 __all__ = ["build_fec", "fec_frame_build", "fec_frame_decode", "FecFrameOut",
