@@ -522,27 +522,43 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
 
     if fec_id is None:
         # With a single code the codeword layout is a function of bps
-        # alone (4 possible values), so all gather indices are
-        # compile-time constants: build each bps variant with a static
-        # gather and select per frame.  This replaced a vmapped
-        # dynamic_slice (and, below, a scatter) that together cost more
-        # than the BP decode itself on chip.
+        # alone (4 possible values) and every codeword is a CONTIGUOUS
+        # run of the frame bit stream — so the extraction is Cmax
+        # *static slices* stacked per bps variant, plus a 4-way select.
+        # The previous single [G, C*n] take_along_axis gather ran at
+        # TPU arbitrary-gather speed: 46.5 ms at [1024, 13x300] — 63%
+        # of the whole coded step (measured on-chip 2026-08-21);
+        # slices + selects are bandwidth-only.
+        #
+        # sent is ALSO masked by `real`: fake codewords (c >= ncws_b)
+        # previously kept `j < m` "sent" and gathered garbage LLRs from
+        # beyond the frame's real bits, which could never satisfy the
+        # syndrome — silently defeating the decoders' batch-wide early
+        # exit for every mixed/padded batch.  Pinned fully at
+        # +SHORTENED_LLR they decode as the all-zeros codeword at the
+        # first syndrome check.
         maxF = llrs.shape[1]
         jj = np.arange(n, dtype=np.int32)[None, :]
-        # one [4, C, n] constant table per quantity, a cheap bps-indexed
-        # row pick, then a SINGLE [G, C*n] gather — replaces four
-        # full-size gathers + four selects (one per bps variant), which
-        # were ~4x the necessary gather volume on chip
-        pos_tab = np.zeros((5, Cmax, n), np.int32)
-        sent_tab = np.zeros((5, Cmax, n), bool)
+        # pad right by n so the LAST codeword's full-width slice never
+        # clips: its sent region (j < m + k') always lies inside the
+        # real maxF bits, and the padded tail is overwritten with
+        # +SHORTENED_LLR by the sent mask (a start clamp instead would
+        # SHIFT the slice and misalign the last codeword at max bps)
+        llrs_p = jnp.pad(llrs, ((0, 0), (0, n)))
+        variants = []
         for kb in range(1, 5):
             s = _static_schedule(fec, kb)
-            pos_tab[kb] = np.clip(s["cw_start"][:, None] + jj, 0, maxF - 1)
-            sent_tab[kb] = jj < m + s["k_prime"][:, None]
-        pos = jnp.asarray(pos_tab)[bps]    # [G, C, n]
-        sent = jnp.asarray(sent_tab)[bps]  # [G, C, n]
-        v = jnp.take_along_axis(llrs, pos.reshape(G, Cmax * n), axis=1)
-        cw_llrs = jnp.where(sent, v.reshape(G, Cmax, n), ldpc.SHORTENED_LLR)
+            sls = []
+            for c in range(Cmax):
+                st = int(min(max(s["cw_start"][c], 0), maxF))
+                sls.append(jax.lax.slice_in_dim(llrs_p, st, st + n, axis=1))
+            v = jnp.stack(sls, axis=1)  # [G, Cmax, n]
+            sent = (jj < m + s["k_prime"][:, None]) & s["real"][:, None]
+            variants.append(jnp.where(jnp.asarray(sent), v,
+                                      ldpc.SHORTENED_LLR))
+        cw_llrs = jnp.select(
+            [(bps == kb)[:, None, None] for kb in (1, 2, 3)],
+            variants[:3], variants[3])
 
         bits, iters, ok = ldpc.decode_mm(
             cw_llrs.reshape(-1, n).astype(jnp.float32), code, max_iters=15
@@ -595,26 +611,23 @@ def fec_frame_decode(fec, llrs: jax.Array, cnst_id: jax.Array,
     # reassemble TB payload bits from systematic parts
     maxP = fec["max_payload_bytes"] * 8 + CRC_LEN_BITS
     if fec_id is None:
-        # static per-bps inverse maps (payload bit p -> (codeword, offset)),
-        # selected per frame — a gather instead of the scatter below
-        # same single-gather trick as the extraction above: constant
-        # [5, maxP] inverse-map tables picked by bps, then ONE gather
-        # from the flattened sys bits (was 4 gathers + 4 selects)
-        pp = np.arange(maxP, dtype=np.int32)
-        src_tab = np.zeros((5, maxP), np.int32)
-        valid_tab = np.zeros((5, maxP), bool)
+        # same static-slice trick as the extraction above: payload bits
+        # are contiguous within each codeword's k' systematic segment,
+        # so the inverse map is a per-bps concatenation of static
+        # slices + zero pad (the [G, maxP] element gather it replaces
+        # cost ~17 ms at this shape on-chip)
+        variants = []
         for kb in range(1, 5):
             s = _static_schedule(fec, kb)
-            ends = np.cumsum(s["k_prime"])
-            cw_of_p = np.minimum(
-                np.searchsorted(ends, pp, side="right"), Cmax - 1)
-            off = np.clip(pp - s["sys_start"][cw_of_p], 0, k_sys - 1)
-            src_tab[kb] = cw_of_p * k_sys + off
-            valid_tab[kb] = pp < s["payload_bits"]
-        src = jnp.asarray(src_tab)[bps]      # [G, maxP]
-        vmask = jnp.asarray(valid_tab)[bps]  # [G, maxP]
-        v = jnp.take_along_axis(sys_bits.reshape(G, Cmax * k_sys), src, axis=1)
-        tb_bits = jnp.where(vmask, v, 0)
+            segs = [sys_bits[:, c, : int(s["k_prime"][c])]
+                    for c in range(Cmax) if s["k_prime"][c] > 0]
+            seg = (jnp.concatenate(segs, axis=1) if segs
+                   else jnp.zeros((G, 0), sys_bits.dtype))
+            if seg.shape[1] < maxP:
+                seg = jnp.pad(seg, ((0, 0), (0, maxP - seg.shape[1])))
+            variants.append(seg[:, :maxP])
+        tb_bits = jnp.select([(bps == kb)[:, None] for kb in (1, 2, 3)],
+                             variants[:3], variants[3])
     else:
         t = jnp.arange(k_sys, dtype=jnp.int32)[None, None, :]
         take = (t < sched["k_prime"][:, :, None]) & real[:, :, None]
