@@ -146,6 +146,96 @@ def bench_stream_rx_accumulate(rxcfg, stream, frames_per_block,
     }
 
 
+def bench_stream_rx_device(rxcfg, txcfg, frames_per_block, timed_blocks,
+                           warmup=3):
+    """Device-resident accumulate variant for attachments whose compiled
+    programs cannot consume host-transferred buffers.
+
+    Measured on this rig (2026-08-21, PJRT plugin API 0.54 vs framework
+    0.90 through a loopback relay): a jitted program fed a
+    ``jnp.asarray(numpy)`` operand dies ``UNIMPLEMENTED`` in most
+    processes while the *same graph* fed a jit-produced operand runs
+    fine — so here the stream is generated AND tiled on device by a
+    jitted producer, and each block window is a jitted dynamic_slice.
+    Everything else matches the accumulate mode: the per-block carried
+    state (tail via the sliding window, trigger lock, fallback,
+    frame-number accounting) chains block to block and one tiny
+    value-chained fetch closes the region.  What this mode does NOT
+    include is the per-block host->device sample transfer of a real
+    deployment — state that in the artifact note.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import session, transmitter
+
+    rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
+    S, T = rx.block_samples, rx.tail_len
+    total = (warmup + timed_blocks) * S
+    txp = transmitter.build_tx(txcfg)
+    NF = 64  # generator frames; tiled to the full region
+
+    @jax.jit
+    def gen():
+        key = jax.random.PRNGKey(0)
+        plen = jnp.full((NF,), txcfg.frame_bytes(2) - 4, jnp.int32)
+        payload = jax.random.randint(
+            key, (NF, txcfg.max_frame_bytes()), 0, 256,
+            jnp.int32).astype(jnp.uint8)
+        mask = jnp.arange(txcfg.max_frame_bytes())[None, :] < plen[:, None]
+        payload = jnp.where(mask, payload, 0)
+        out = transmitter.tx_frames(
+            txp, payload, plen, jnp.full((NF,), 2, jnp.int32),
+            jnp.zeros((NF,), jnp.int32),
+            jnp.arange(NF, dtype=jnp.int32), key)
+        s = out.samples.reshape(-1)
+        big = jnp.tile(s, -(-total // s.shape[0]))[:total]
+        return jnp.concatenate([jnp.zeros(T, jnp.complex64), big])
+
+    stream_d = gen()
+
+    @jax.jit
+    def fold(acc, crc_ok, header_ok, valid, acct):
+        return acc + jnp.stack([
+            jnp.sum((crc_ok & valid).astype(jnp.int32)),
+            jnp.sum((header_ok & valid).astype(jnp.int32)),
+            jnp.sum(valid.astype(jnp.int32)), acct[0], acct[1]])
+
+    @jax.jit
+    def window(s, i):
+        return jax.lax.dynamic_slice(s, (i * S,), (T + S,))
+
+    lock, fb, exp = rx._lock, rx._fallback, rx._expected_no
+    acc = jnp.zeros(5, jnp.int32)
+    for i in range(warmup):
+        w = window(stream_d, jnp.int32(i))
+        out, valid, lock, fb, exp, acct, _, _ = rx._step(w, lock, fb, exp,
+                                                         None)
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+    fetch_np(acc)  # drain warmup + compiles
+    acc = jnp.zeros(5, jnp.int32)
+    t0 = time.monotonic()
+    for i in range(warmup, warmup + timed_blocks):
+        w = window(stream_d, jnp.int32(i))
+        out, valid, lock, fb, exp, acct, _, _ = rx._step(w, lock, fb, exp,
+                                                         None)
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+    a = fetch_np(acc)  # value chain closes the region
+    elapsed = time.monotonic() - t0
+    return {
+        "mode": "device-stream",
+        "frames_per_block": frames_per_block,
+        "block_samples": S,
+        "timed_blocks": timed_blocks,
+        "msamples_per_s": timed_blocks * S / elapsed / 1e6,
+        "region_elapsed_s": elapsed,
+        "crc_ok": int(a[0]),
+        "header_ok": int(a[1]),
+        "valid_frames": int(a[2]),
+        # no "lost" row: the tiled generator repeats frame numbers, so
+        # 12-bit gap accounting counts phantom losses here
+    }
+
+
 def bench_stream_rx_readback(rxcfg, stream, frames_per_block, timed_blocks,
                              warmup=3, depth=1):
     """Deployment-faithful loop: per-block accounting readback.
@@ -266,6 +356,10 @@ def main():
     ap.add_argument("--readback", action="store_true",
                     help="also run the per-block-readback rows on a "
                          "non-CPU device (tunnel-risky)")
+    ap.add_argument("--device-stream", action="store_true",
+                    help="device-resident accumulate rows (for "
+                         "attachments whose compiled programs cannot "
+                         "consume host-transferred buffers)")
     ap.add_argument("--no-duplex-ab", action="store_true",
                     help="skip the serialized-readback duplex row")
     ap.add_argument("--stream-cache", default=None,
@@ -288,21 +382,26 @@ def main():
     txcfg = cfgmod.make_tx_config(None, frame_length=args.frame_length)
     rxcfg = cfgmod.make_rx_config(None, frame_length=args.frame_length)
 
-    if args.stream_cache and os.path.exists(args.stream_cache):
-        stream = np.load(args.stream_cache)
-    else:
-        stream = _make_stream(txcfg, 256)
-        if args.stream_cache:
-            np.save(args.stream_cache, stream)
+    stream = None
+    if not args.device_stream:
+        if args.stream_cache and os.path.exists(args.stream_cache):
+            stream = np.load(args.stream_cache)
+        else:
+            stream = _make_stream(txcfg, 256)
+            if args.stream_cache:
+                np.save(args.stream_cache, stream)
     rows = []
     for fpb in (int(x) for x in args.sizes.split(",")):
-        r = bench_stream_rx_accumulate(rxcfg, stream, fpb, args.blocks)
+        if args.device_stream:
+            r = bench_stream_rx_device(rxcfg, txcfg, fpb, args.blocks)
+        else:
+            r = bench_stream_rx_accumulate(rxcfg, stream, fpb, args.blocks)
         assert r["crc_ok"] == r["valid_frames"], (
             "CRC failures in the streamed decode")
         rows.append(r)
         print(json.dumps({"metric": "stream_rx_throughput", **r}),
               flush=True)
-        if platform == "cpu" or args.readback:
+        if (platform == "cpu" or args.readback) and stream is not None:
             for depth in (1, 2):
                 r = bench_stream_rx_readback(rxcfg, stream, fpb,
                                              args.blocks, depth=depth)
