@@ -120,7 +120,23 @@ def test_stream_daemon_on_chip(tmp_path):
     real chip — per-block H2D, carried lock state, per-block accounting
     readback through the retrying fetch.  This is the deployment shape
     the stream bench measures; a regression here is a production
-    regression regardless of the batch bench."""
+    regression regardless of the batch bench.
+
+    Skips (with the real reason) on attachments whose compiled
+    programs cannot consume host-transferred buffers — the daemon's
+    whole point is feeding host samples to the device, so there is
+    nothing meaningful to smoke there (BENCH_stream_r04.json's
+    device-stream mode covers the session logic on such rigs)."""
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy as np, jax, jax.numpy as jnp;"
+         "f = jax.jit(lambda x: jnp.abs(x).sum());"
+         "print(float(f(jnp.asarray(np.zeros(4096, np.complex64)))))"],
+        capture_output=True, text=True, timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "RUN_MODEM_CPU"})
+    if probe.returncode != 0:
+        pytest.skip("attachment cannot feed host-transferred buffers "
+                    "to compiled programs (relay/PJRT limitation)")
     cap = tmp_path / "capture.c64"
     subprocess.run(  # capture generated on CPU (the TX daemon)
         [sys.executable, "tools/run_modem.py", "stream-tx", "--sink",
