@@ -168,6 +168,16 @@ def test_pallas_sync_kernel_on_chip():
     env = dict(os.environ)
     env.pop("RUN_MODEM_CPU", None)
     env["GR_DTL_TPU_FETCH_TRIES"] = "60"
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy as np, jax, jax.numpy as jnp;"
+         "f = jax.jit(lambda x: jnp.abs(x).sum());"
+         "print(float(f(jnp.asarray(np.zeros(4096, np.complex64)))))"],
+        capture_output=True, text=True, timeout=300, env=env)
+    if probe.returncode != 0:
+        pytest.skip("attachment cannot feed host-transferred buffers "
+                    "to compiled programs (check_pallas builds its "
+                    "streams host-side)")
     res = subprocess.run(
         [sys.executable, "tools/check_pallas.py"],
         capture_output=True, text=True, cwd=HERE, timeout=600, env=env)
