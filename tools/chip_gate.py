@@ -33,14 +33,20 @@ PROBE = (
 # 5-int fetch dies UNIMPLEMENTED).  --heavy probes with a
 # representative slice: a real StreamRx block step + accounting fetch.
 HEAVY_PROBE = r"""
-import numpy as np, jax
-sys_ok = False
+import numpy as np, jax, jax.numpy as jnp
 from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.models import session
 rx = session.StreamRx(cfgmod.make_rx_config(None, frame_length=10),
                       frames_per_block=2)
-out, valid = rx.process(np.zeros(rx.block_samples, np.complex64))
-print("HEAVY_OK", int(valid.sum()))
+# device-produced input (NOT a host transfer): this attachment's
+# compiled programs cannot consume host-transferred buffers, and the
+# gated benches use the same device-stream discipline
+w = jax.jit(lambda: jnp.zeros(rx.tail_len + rx.block_samples,
+                              jnp.complex64))()
+out, valid, *_rest = rx._step(w, rx._lock, rx._fallback,
+                              rx._expected_no, None)
+acct = _rest[3]
+print("HEAVY_OK", int(np.asarray(acct)[1] >= 0))
 """
 
 
