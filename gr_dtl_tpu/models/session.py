@@ -59,11 +59,19 @@ class BlockMasks(np.ndarray):
     array keeps them tied to *their* block even when readbacks are
     pipelined/drained out of order — session-level ``last_*``
     attributes would hold only the most recent block's masks there.
-    Behaves exactly like a bool ndarray for existing callers.
+    Behaves exactly like a bool ndarray for existing callers, and the
+    attributes survive numpy operations that derive new arrays (views,
+    slices, ufunc results, copies) via ``__array_finalize__``.
     """
 
     header_ok: np.ndarray
     crc_ok: np.ndarray
+
+    def __array_finalize__(self, obj):
+        if obj is None:
+            return
+        self.header_ok = getattr(obj, "header_ok", None)
+        self.crc_ok = getattr(obj, "crc_ok", None)
 
 
 class StreamRx:

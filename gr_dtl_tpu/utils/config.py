@@ -83,7 +83,14 @@ def make_sync_word1(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
     repeats with period 32, which the Schmidl-Cox autocorrelator detects.
     Returned as a centered length-fft_len frequency-domain vector.
     """
-    if _WIRE_SYNC1 is not None and len(_WIRE_SYNC1) == fft_len:
+    if _WIRE_SYNC1 is not None:
+        if len(_WIRE_SYNC1) != fft_len:
+            # never fall back silently: foreign constellations + native PN
+            # would be a mixed, non-interoperable configuration
+            raise ValueError(
+                f"wire-compat sync word 1 is {len(_WIRE_SYNC1)} bins but "
+                f"fft_len={fft_len}; the active wire-constants file does "
+                "not match this config")
         return _WIRE_SYNC1.copy()
     rng = np.random.RandomState(_SYNC_SEED)
     active = _active_carriers(occupied, pilots)
@@ -98,7 +105,12 @@ def make_sync_word1(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
 def make_sync_word2(fft_len=64, occupied=DEFAULT_OCCUPIED_CARRIERS,
                     pilots=DEFAULT_PILOT_CARRIERS) -> np.ndarray:
     """Sync word 2: PN(+-1) on all active carriers (channel estimation)."""
-    if _WIRE_SYNC2 is not None and len(_WIRE_SYNC2) == fft_len:
+    if _WIRE_SYNC2 is not None:
+        if len(_WIRE_SYNC2) != fft_len:
+            raise ValueError(
+                f"wire-compat sync word 2 is {len(_WIRE_SYNC2)} bins but "
+                f"fft_len={fft_len}; the active wire-constants file does "
+                "not match this config")
         return _WIRE_SYNC2.copy()
     rng = np.random.RandomState(_SYNC_SEED + 1)
     active = _active_carriers(occupied, pilots)

@@ -82,14 +82,20 @@ def load(path: str) -> dict:
             raise ValueError(f"wire constants file missing key {k!r}")
     fft_len = int(raw["fft_len"])
     consts = {"fft_len": fft_len, "points": {}}
+    missing = [n for n in _TYPE_OF_NAME if n not in raw["constellations"]]
+    if missing:
+        # a partial table would silently mix native and foreign labels —
+        # a broken interop claim; demand the full extraction
+        raise ValueError(
+            "wire constants file is missing constellation entries "
+            f"{missing!r}; all of {sorted(_TYPE_OF_NAME)} are required")
     for name, ty in _TYPE_OF_NAME.items():
-        if name in raw["constellations"]:
-            p = _c64(raw["constellations"][name])
-            want = 1 << int(cn.BITS_PER_SYMBOL[ty])
-            if p.shape != (want,):
-                raise ValueError(
-                    f"{name}: expected {want} points, got {p.shape[0]}")
-            consts["points"][ty] = p
+        p = _c64(raw["constellations"][name])
+        want = 1 << int(cn.BITS_PER_SYMBOL[ty])
+        if p.shape != (want,):
+            raise ValueError(
+                f"{name}: expected {want} points, got {p.shape[0]}")
+        consts["points"][ty] = p
     for k in ("sync_word1", "sync_word2"):
         w = _c64(raw[k])
         if w.shape != (fft_len,):

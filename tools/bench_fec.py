@@ -174,6 +174,7 @@ def main():
     # (examples/bp_bf16_ablation.json: 0.05% FER at the waterfall knee)
     bf16 = None
     if not args.no_bf16_ab:
+        prev_bf16 = os.environ.get("GR_DTL_TPU_BP_BF16")
         os.environ["GR_DTL_TPU_BP_BF16"] = "1"
 
         @jax.jit
@@ -188,7 +189,10 @@ def main():
             acc = dec_step_bf16(llr, acc)
         bp_ok_bf16 = fetch_float(acc)
         dt_bf16 = (time.perf_counter() - t0) / iters
-        os.environ["GR_DTL_TPU_BP_BF16"] = "0"
+        if prev_bf16 is None:
+            os.environ.pop("GR_DTL_TPU_BP_BF16", None)
+        else:
+            os.environ["GR_DTL_TPU_BP_BF16"] = prev_bf16
         bf16 = {
             "bp_step_ms_bf16": round(dt_bf16 * 1e3, 3),
             "bp_step_ms_f32": round(dt_bp * 1e3, 3),
