@@ -265,10 +265,14 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
     the log-magnitude messages lose ~8 mantissa bits, which sum-product
     BP tolerates (accuracy pinned: examples/bp_bf16_ablation.json,
     0.05% FER at the waterfall knee).  **Measured on-chip 2026-08-21
-    (BENCH_fec_r04.json bf16_ab): 0.98x at CW=2048 — no win, because
-    the loop is VPU-transcendental-bound, not MXU-bound — so f32 stays
-    the default on evidence, not caution.**  The syndrome check stays
-    exact either way.
+    with 5 interleaved f32/bf16 repetitions at CW=2048
+    (examples/bp_bf16_ab_r05.json): median speedup 1.046x clean /
+    1.001x at the waterfall knee — parity, inside the 3.4-4.5 ms
+    per-rep tunnel variance.  Single-shot A/Bs of this pair swung
+    0.98x -> 0.48x -> 1.99x across the BENCH_fec_r04.json
+    regenerations, which is why only the interleaved sample decides:
+    the loop is VPU-transcendental-bound, not MXU-bound, so f32 stays
+    the default.**  The syndrome check stays exact either way.
     """
     import os
 
