@@ -46,8 +46,8 @@ from gr_dtl_tpu.ops import burst, constellation as cn, metrics, sync
 from gr_dtl_tpu.models import adaptive, receiver, streaming, transmitter
 from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
 
-__all__ = ["StreamRx", "StreamRxPipelined", "StreamTx", "StreamDuplex",
-           "StreamBurstRx", "StreamSimplex"]
+__all__ = ["StreamRx", "StreamRxPipelined", "StreamRxMega", "StreamTx",
+           "StreamDuplex", "StreamBurstRx", "StreamSimplex"]
 
 
 class BlockMasks(np.ndarray):
@@ -137,6 +137,24 @@ class StreamRx:
         self.last_header_ok = np.zeros(self.F, bool)
         self.last_crc_ok = np.zeros(self.F, bool)
         self._step = self._build_step()
+        # ingest plumbing: the carried tail lives ON DEVICE and the
+        # tail+chunk concat happens in-graph, so each block's H2D moves
+        # only the new samples — and :meth:`prefetch` lets the caller
+        # start block k+1's transfer while block k computes
+        # (double-buffered ingest; VERDICT r4 item 3)
+        self._tail = None  # device [tail_len], created by the first step
+        tl = self.tail_len
+
+        @jax.jit
+        def step_tc(tail, chunk, lock_state, fallback_cnst, expected_no,
+                    tb_state=None):
+            res = self._step(jnp.concatenate([tail, chunk]), lock_state,
+                             fallback_cnst, expected_no, tb_state)
+            return res + (chunk[-tl:],)
+
+        self._step_tc = step_tc
+        self._zeros_tail = jax.jit(
+            lambda: jnp.zeros(tl, jnp.complex64))
 
     def _build_step(self):
         cfg, F, P = self.cfg, self.F, self.P
@@ -219,19 +237,34 @@ class StreamRx:
 
         return step
 
-    def _dispatch(self, chunk: np.ndarray):
+    def prefetch(self, chunk: np.ndarray):
+        """Start the host->device transfer of a FUTURE block now.
+
+        Double-buffered ingest: call right after dispatching block k
+        with block k+1's samples, then pass the returned device handle
+        to the next :meth:`process` call in place of the numpy chunk —
+        the transfer overlaps block k's compute instead of serializing
+        in front of block k+1's dispatch.
+        """
+        return jax.device_put(
+            np.ascontiguousarray(np.asarray(chunk, np.complex64)))
+
+    def _dispatch(self, chunk):
         """Launch the jitted block step and update the carried state;
-        returns the (device-resident) results for a later readback."""
+        returns the (device-resident) results for a later readback.
+        ``chunk`` is numpy samples or a :meth:`prefetch` handle."""
         assert chunk.shape[-1] == self.block_samples, (
             f"feed exactly {self.block_samples} samples per call"
         )
-        samples = np.concatenate([self._tail, np.asarray(chunk, np.complex64)])
+        if not isinstance(chunk, jax.Array):
+            chunk = self.prefetch(chunk)
+        if self._tail is None:
+            self._tail = self._zeros_tail()
         tb_state = self._tb_state if self._use_tb else None
         (out, valid, self._lock, self._fallback, self._expected_no, acct,
-         tb_state, tb_out) = self._step(
-            jnp.asarray(samples), self._lock, self._fallback,
+         tb_state, tb_out, self._tail) = self._step_tc(
+            self._tail, chunk, self._lock, self._fallback,
             self._expected_no, tb_state)
-        self._tail = np.asarray(chunk)[-self.tail_len :]
         if self._use_tb:
             self._tb_state = tb_state
         return out, valid, acct, tb_out
@@ -337,6 +370,110 @@ class StreamRxPipelined(StreamRx):
         while self._inflight:
             res.append(self._readback(*self._inflight.pop(0)))
         return res
+
+
+class StreamRxMega(StreamRx):
+    """StreamRx with K blocks per dispatch: an in-graph ``lax.scan``
+    chains the carried state (tail, trigger lock, fallback, frame
+    accounting, TB ring) across K consecutive F-frame blocks inside ONE
+    jitted call — one dispatch, one H2D, one readback per K blocks.
+
+    Why: per-dispatch overhead dominates small blocks (the r04 sweep:
+    16-frame blocks ran at 3.3 Ms/s because every ~0.25 ms of compute
+    paid a multi-ms dispatch+queue round trip on the attachment).  The
+    megastep amortizes that fixed cost over K blocks while keeping the
+    SMALL block's semantics — fold vote, trigger-lock update, fallback
+    constellation and loss accounting advance every F frames exactly as
+    in StreamRx, so adaptation granularity is unchanged; only the
+    host's dispatch/readback granularity (and therefore its buffering
+    latency) grows to K*F frames.  A deployment picks (F, K) off the
+    measured latency/throughput curve (tools/bench_stream.py --mega,
+    BENCH_stream_r05.json).
+
+    :meth:`process` consumes ``K * block_samples`` samples and returns
+    (RxOut [K*F, ...], valid [K*F]) (+ tb dict for W>1 FEC, leaves
+    [K*F, ...]); ``last_valid``/``last_header_ok``/``last_crc_ok`` are
+    [K*F].  Results are bit-identical to K successive StreamRx calls
+    (tests/test_session.py::test_stream_rx_mega_matches_stream_rx).
+    """
+
+    def __init__(self, cfg, frames_per_block: int = 16,
+                 blocks_per_dispatch: int = 8, fec=None, probe=None):
+        super().__init__(cfg, frames_per_block, fec, probe=probe)
+        self.K = int(blocks_per_dispatch)
+        self.dispatch_samples = self.K * self.block_samples
+        B, tl, K = self.block_samples, self.tail_len, self.K
+        use_tb = self._use_tb
+        step = self._step
+
+        @jax.jit
+        def mega(tail, chunk, lock_state, fallback_cnst, expected_no,
+                 tb_state=None):
+            samples = jnp.concatenate([tail, chunk])  # [tl + K*B]
+
+            def body(carry, k):
+                lock, fb, exp, tb = carry
+                ext = jax.lax.dynamic_slice(samples, (k * B,), (tl + B,))
+                out, valid, lock, fb, exp, acct, tb, tb_out = step(
+                    ext, lock, fb, exp, tb)
+                return (lock, fb, exp, tb), (out, valid, acct, tb_out)
+
+            (lock, fb, exp, tb), (outs, valids, accts, tb_outs) = (
+                jax.lax.scan(body,
+                             (lock_state, fallback_cnst, expected_no,
+                              tb_state),
+                             jnp.arange(K)))
+            # flatten [K, F, ...] -> [K*F, ...] so consumers see one
+            # frame batch; accts pack per block for a single fetch
+            flat = jax.tree.map(
+                lambda a: a.reshape((a.shape[0] * a.shape[1],)
+                                    + a.shape[2:]), (outs, valids))
+            tb_flat = (jax.tree.map(
+                lambda a: a.reshape((a.shape[0] * a.shape[1],)
+                                    + a.shape[2:]), tb_outs)
+                if use_tb else None)
+            return (flat[0], flat[1], lock, fb, exp, accts, tb, tb_flat,
+                    chunk[-tl:])
+
+        self._mega = mega
+
+    def _dispatch(self, chunk):
+        assert chunk.shape[-1] == self.dispatch_samples, (
+            f"feed exactly {self.dispatch_samples} samples per call "
+            f"(K={self.K} blocks)")
+        if not isinstance(chunk, jax.Array):
+            chunk = self.prefetch(chunk)
+        if self._tail is None:
+            self._tail = self._zeros_tail()
+        tb_state = self._tb_state if self._use_tb else None
+        (out, valid, self._lock, self._fallback, self._expected_no, accts,
+         tb_state, tb_out, self._tail) = self._mega(
+            self._tail, chunk, self._lock, self._fallback,
+            self._expected_no, tb_state)
+        if self._use_tb:
+            self._tb_state = tb_state
+        return out, valid, accts, tb_out
+
+    def _readback(self, out, valid, accts, tb_out):
+        # one packed [K, 2+3F] fetch covers all K blocks' accounting
+        F, K = self.F, self.K
+        a = fetch_np(accts)
+        self.n_lost += int(a[:, 0].sum())
+        self.n_frames += int(a[:, 0].sum() + a[:, 1].sum())
+        valid = a[:, 2: 2 + F].astype(bool).reshape(K * F).view(BlockMasks)
+        valid.header_ok = a[:, 2 + F: 2 + 2 * F].astype(bool).reshape(K * F)
+        valid.crc_ok = a[:, 2 + 2 * F: 2 + 3 * F].astype(bool).reshape(K * F)
+        self.last_valid = valid
+        self.last_header_ok = valid.header_ok
+        self.last_crc_ok = valid.crc_ok
+        if self.probe is not None:
+            ok = valid.header_ok & valid
+            msgs = self._mon.eq_messages(out, self.lost_frame_rate)
+            for i in np.nonzero(ok)[0]:
+                self.probe.send(self._eq_builder.build(msgs[int(i)]))
+        if self._use_tb:
+            return out, valid, tb_out
+        return out, valid
 
 
 class StreamTx:

@@ -481,3 +481,105 @@ def test_stream_simplex_soak_fading_sfo():
     assert n_applied >= 5, n_applied
     assert sx.rx.n_frames > 0
     assert 0.0 <= sx.rx.lost_frame_rate < 0.5
+
+
+def _frame_stream(txcfg, B, offset, n_blocks, block_samples, seed=0,
+                  noise_db=30.0):
+    """B frames of mixed MCS starting at `offset`, padded to whole blocks."""
+    txp = transmitter.build_tx(txcfg)
+    rng = np.random.RandomState(seed)
+    cnst = rng.randint(1, 5, size=B).astype(np.int32)
+    maxb = txcfg.max_frame_bytes()
+    payload = np.zeros((B, maxb), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for i in range(B):
+        plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(seed))
+    sig = float(np.mean(np.abs(np.asarray(out.samples)) ** 2))
+    stream = np.concatenate([
+        np.zeros(offset, np.complex64),
+        np.asarray(out.samples).reshape(-1),
+        np.zeros(n_blocks * block_samples, np.complex64),
+    ])[: n_blocks * block_samples]
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(seed + 50), jnp.asarray(stream),
+        float(np.sqrt(sig / 10 ** (noise_db / 10)))))
+    return stream, payload, plen
+
+
+def test_stream_rx_mega_matches_stream_rx():
+    """K blocks per dispatch (in-graph scan over carried state) must be
+    bit-identical to K successive StreamRx calls."""
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    F, K, n_disp = 4, 3, 2
+    ref = session.StreamRx(cfg, frames_per_block=F)
+    mega = session.StreamRxMega(cfg, frames_per_block=F,
+                                blocks_per_dispatch=K)
+    blk = ref.block_samples
+    n_blocks = K * n_disp
+    B = (n_blocks - 1) * F  # idle air at the end
+    stream, payload, plen = _frame_stream(txcfg, B, 300, n_blocks, blk)
+
+    ref_out = []
+    for b in range(n_blocks):
+        o, v = ref.process(stream[b * blk: (b + 1) * blk])
+        ref_out.append((o, np.asarray(v), v.header_ok.copy(),
+                        v.crc_ok.copy()))
+    decoded = {}
+    for d in range(n_disp):
+        o, v = mega.process(stream[d * K * blk: (d + 1) * K * blk])
+        # masks equal the concatenation of the per-block StreamRx masks
+        rv = np.concatenate([r[1] for r in ref_out[d * K: (d + 1) * K]])
+        rh = np.concatenate([r[2] for r in ref_out[d * K: (d + 1) * K]])
+        rc = np.concatenate([r[3] for r in ref_out[d * K: (d + 1) * K]])
+        np.testing.assert_array_equal(np.asarray(v), rv)
+        np.testing.assert_array_equal(mega.last_header_ok, rh)
+        np.testing.assert_array_equal(mega.last_crc_ok, rc)
+        pays = np.asarray(o.payload)
+        nos = np.asarray(o.frame_no)
+        lens = np.asarray(o.payload_len)
+        ref_pay = np.concatenate(
+            [np.asarray(r[0].payload) for r in ref_out[d * K: (d + 1) * K]])
+        ok = rv & rc
+        np.testing.assert_array_equal(pays[ok], ref_pay[ok])
+        for i in np.nonzero(ok)[0]:
+            decoded[int(nos[i])] = pays[i, : lens[i]].tobytes()
+    assert mega.n_lost == ref.n_lost and mega.n_frames == ref.n_frames
+    assert len(decoded) == B
+    for i in range(B):
+        assert decoded[i] == payload[i, : plen[i]].tobytes()
+
+
+def test_stream_rx_prefetch_ingest_identical():
+    """Double-buffered ingest (prefetch handles) decodes identically to
+    plain numpy feeding."""
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    F, n_blocks = 4, 4
+    B = (n_blocks - 1) * F
+    rx_a = session.StreamRx(cfg, frames_per_block=F)
+    rx_b = session.StreamRx(cfg, frames_per_block=F)
+    blk = rx_a.block_samples
+    stream, payload, plen = _frame_stream(txcfg, B, 211, n_blocks, blk,
+                                          seed=3)
+    chunks = [stream[b * blk: (b + 1) * blk] for b in range(n_blocks)]
+    # plain path
+    plain = [rx_a.process(c) for c in chunks]
+    # prefetched path: block k+1's H2D is issued before block k's readback
+    pref = []
+    handle = rx_b.prefetch(chunks[0])
+    for b in range(n_blocks):
+        nxt = rx_b.prefetch(chunks[b + 1]) if b + 1 < n_blocks else None
+        pref.append(rx_b.process(handle))
+        handle = nxt
+    for (oa, va), (ob, vb) in zip(plain, pref):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        np.testing.assert_array_equal(va.crc_ok, vb.crc_ok)
+        np.testing.assert_array_equal(np.asarray(oa.payload),
+                                      np.asarray(ob.payload))
+    assert rx_a.n_lost == rx_b.n_lost and rx_a.n_frames == rx_b.n_frames

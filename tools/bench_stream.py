@@ -236,6 +236,193 @@ def bench_stream_rx_device(rxcfg, txcfg, frames_per_block, timed_blocks,
     }
 
 
+def bench_mega_device(rxcfg, txcfg, frames_per_block, blocks_per_dispatch,
+                      timed_dispatches, warmup=2):
+    """Device-resident megastep rows: K blocks per dispatch via the
+    in-graph scan (session.StreamRxMega), stream generated on device
+    (same attachment limitation note as bench_stream_rx_device)."""
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import session, transmitter
+
+    rx = session.StreamRxMega(rxcfg, frames_per_block=frames_per_block,
+                              blocks_per_dispatch=blocks_per_dispatch)
+    D, T = rx.dispatch_samples, rx.tail_len
+    total = (warmup + timed_dispatches) * D
+    txp = transmitter.build_tx(txcfg)
+    NF = 64
+
+    @jax.jit
+    def gen():
+        key = jax.random.PRNGKey(0)
+        plen = jnp.full((NF,), txcfg.frame_bytes(2) - 4, jnp.int32)
+        payload = jax.random.randint(
+            key, (NF, txcfg.max_frame_bytes()), 0, 256,
+            jnp.int32).astype(jnp.uint8)
+        mask = jnp.arange(txcfg.max_frame_bytes())[None, :] < plen[:, None]
+        payload = jnp.where(mask, payload, 0)
+        out = transmitter.tx_frames(
+            txp, payload, plen, jnp.full((NF,), 2, jnp.int32),
+            jnp.zeros((NF,), jnp.int32),
+            jnp.arange(NF, dtype=jnp.int32), key)
+        s = out.samples.reshape(-1)
+        return jnp.tile(s, -(-total // s.shape[0]))[:total]
+
+    stream_d = gen()
+
+    @jax.jit
+    def window(s, i):
+        return jax.lax.dynamic_slice(s, (i * D,), (D,))
+
+    @jax.jit
+    def fold(acc, crc_ok, header_ok, valid, accts):
+        return acc + jnp.stack([
+            jnp.sum((crc_ok & valid).astype(jnp.int32)),
+            jnp.sum((header_ok & valid).astype(jnp.int32)),
+            jnp.sum(valid.astype(jnp.int32)),
+            jnp.sum(accts[:, 0]), jnp.sum(accts[:, 1])])
+
+    tail = rx._zeros_tail()
+    lock, fb, exp = rx._lock, rx._fallback, rx._expected_no
+    acc = jnp.zeros(5, jnp.int32)
+    for i in range(warmup):
+        w = window(stream_d, jnp.int32(i))
+        out, valid, lock, fb, exp, accts, _, _, tail = rx._mega(
+            tail, w, lock, fb, exp, None)
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, accts)
+    fetch_np(acc)
+    acc = jnp.zeros(5, jnp.int32)
+    t0 = time.monotonic()
+    for i in range(warmup, warmup + timed_dispatches):
+        w = window(stream_d, jnp.int32(i))
+        out, valid, lock, fb, exp, accts, _, _, tail = rx._mega(
+            tail, w, lock, fb, exp, None)
+        acc = fold(acc, out.crc_ok, out.header_ok, valid, accts)
+    a = fetch_np(acc)
+    elapsed = time.monotonic() - t0
+    return {
+        "mode": "mega-device",
+        "frames_per_block": frames_per_block,
+        "blocks_per_dispatch": blocks_per_dispatch,
+        "dispatch_samples": D,
+        "timed_dispatches": timed_dispatches,
+        "msamples_per_s": timed_dispatches * D / elapsed / 1e6,
+        "region_elapsed_s": elapsed,
+        "crc_ok": int(a[0]),
+        "header_ok": int(a[1]),
+        "valid_frames": int(a[2]),
+    }
+
+
+def bench_ingest_cost(block_samples, n=16):
+    """Pure H2D ingest cost: device_put of block-sized host buffers.
+
+    The transfer is validated (and the value chain closed) by a jitted
+    reduce over every uploaded buffer — on attachments whose compiled
+    programs cannot consume host-transferred buffers this dies; the row
+    then records the failure instead of a number (that inability IS the
+    ingest story on such rigs)."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = (np.random.RandomState(0).randn(block_samples).astype(np.float32)
+           .view(np.complex64)[: block_samples // 2])
+    buf = np.concatenate([buf, buf])[:block_samples].astype(np.complex64)
+    nbytes = buf.nbytes
+
+    @jax.jit
+    def consume(acc, h):
+        return acc + jnp.sum(jnp.abs(h[:: max(1, block_samples // 64)]))
+
+    try:
+        h = jax.device_put(buf)
+        acc = consume(jnp.float32(0), h)
+        _ = fetch_np(acc)  # warm compile + prove the path works
+        t0 = time.monotonic()
+        acc = jnp.float32(0)
+        for _ in range(n):
+            h = jax.device_put(buf)
+            acc = consume(acc, h)
+        _ = fetch_np(acc)  # chains every upload
+        elapsed = time.monotonic() - t0
+        return {
+            "mode": "ingest-cost",
+            "block_samples": block_samples,
+            "block_bytes": nbytes,
+            "uploads": n,
+            "h2d_ms_per_block": elapsed / n * 1e3,
+            "h2d_mbytes_per_s": n * nbytes / elapsed / 1e6,
+        }
+    except Exception as e:  # noqa: BLE001 — record, don't crash the sweep
+        return {
+            "mode": "ingest-cost",
+            "block_samples": block_samples,
+            "skipped": f"{type(e).__name__}: {str(e)[:200]}",
+            "note": "compiled programs on this attachment cannot consume "
+                    "host-transferred buffers (see bench_stream_rx_device "
+                    "docstring); a real deployment on such a rig cannot "
+                    "stream external samples at all",
+        }
+
+
+def bench_ingest_ab(rxcfg, stream, frames_per_block, timed_blocks, warmup=3):
+    """Serialized vs double-buffered (prefetch) ingest, accumulate-style
+    timed region (no per-block readbacks).  baseline: each block's H2D
+    happens inside dispatch.  prefetch: block k+1's device_put is issued
+    right after block k's dispatch, overlapping its compute."""
+    import jax
+    import jax.numpy as jnp
+    from gr_dtl_tpu.models import session
+
+    rows = []
+    for mode in ("serialized", "prefetch"):
+        rx = session.StreamRx(rxcfg, frames_per_block=frames_per_block)
+        B = rx.block_samples
+        total = warmup + timed_blocks
+        need = total * B
+        reps = -(-need // len(stream))
+        s = np.tile(stream, reps)[:need]
+        chunks = [s[i * B:(i + 1) * B] for i in range(total)]
+
+        @jax.jit
+        def fold(acc, crc_ok, header_ok, valid, acct):
+            return acc + jnp.stack([
+                jnp.sum((crc_ok & valid).astype(jnp.int32)),
+                jnp.sum((header_ok & valid).astype(jnp.int32)),
+                jnp.sum(valid.astype(jnp.int32)), acct[0], acct[1]])
+
+        def run(lo, hi, acc):
+            if mode == "prefetch":
+                handle = rx.prefetch(chunks[lo])
+                for i in range(lo, hi):
+                    nxt = rx.prefetch(chunks[i + 1]) if i + 1 < hi else None
+                    out, valid, acct, _tb = rx._dispatch(handle)
+                    acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+                    handle = nxt
+            else:
+                for i in range(lo, hi):
+                    out, valid, acct, _tb = rx._dispatch(chunks[i])
+                    acc = fold(acc, out.crc_ok, out.header_ok, valid, acct)
+            return acc
+        acc = run(0, warmup, jnp.zeros(5, jnp.int32))
+        fetch_np(acc)
+        t0 = time.monotonic()
+        acc = run(warmup, total, jnp.zeros(5, jnp.int32))
+        a = fetch_np(acc)
+        elapsed = time.monotonic() - t0
+        rows.append({
+            "mode": f"ingest-{mode}",
+            "frames_per_block": frames_per_block,
+            "block_samples": B,
+            "timed_blocks": timed_blocks,
+            "msamples_per_s": timed_blocks * B / elapsed / 1e6,
+            "region_elapsed_s": elapsed,
+            "crc_ok": int(a[0]),
+            "valid_frames": int(a[2]),
+        })
+    return rows
+
+
 def bench_stream_rx_readback(rxcfg, stream, frames_per_block, timed_blocks,
                              warmup=3, depth=1):
     """Deployment-faithful loop: per-block accounting readback.
@@ -339,6 +526,19 @@ def bench_duplex(cfg, rxcfg, frames_per_block, steps, warmup=2,
     }
 
 
+def _latency_cols(r):
+    """Attach the latency view: dispatch_ms = wall time one dispatch
+    takes at the measured sustained rate; buffer_ms_at_700kss = how much
+    stream time one dispatch's samples span at the reference's 700 kS/s
+    TX rate (ofdm_adaptive_config.py:51) — the real-time buffering
+    latency a deployment at that rate pays for this granularity."""
+    d = r.get("dispatch_samples", r.get("block_samples"))
+    if d and r.get("msamples_per_s"):
+        r["dispatch_ms"] = round(d / (r["msamples_per_s"] * 1e6) * 1e3, 3)
+        r["buffer_ms_at_700kss"] = round(d / 700e3 * 1e3, 2)
+    return r
+
+
 def main():
     # The Pallas sync kernel wedges THIS dev tunnel's device->host path
     # (ops/sync.py:105); the bench pins the jnp path unless the caller
@@ -360,6 +560,13 @@ def main():
                     help="device-resident accumulate rows (for "
                          "attachments whose compiled programs cannot "
                          "consume host-transferred buffers)")
+    ap.add_argument("--mega", default=None,
+                    help="megastep rows as FxK pairs (e.g. 16x8,16x64): "
+                         "K blocks of F frames per dispatch via the "
+                         "in-graph scan (StreamRxMega)")
+    ap.add_argument("--ingest", action="store_true",
+                    help="ingest rows: H2D cost per block + serialized "
+                         "vs double-buffered (prefetch) ingest A/B")
     ap.add_argument("--no-duplex-ab", action="store_true",
                     help="skip the serialized-readback duplex row")
     ap.add_argument("--stream-cache", default=None,
@@ -398,7 +605,7 @@ def main():
             r = bench_stream_rx_accumulate(rxcfg, stream, fpb, args.blocks)
         assert r["crc_ok"] == r["valid_frames"], (
             "CRC failures in the streamed decode")
-        rows.append(r)
+        rows.append(_latency_cols(r))
         print(json.dumps({"metric": "stream_rx_throughput", **r}),
               flush=True)
         if (platform == "cpu" or args.readback) and stream is not None:
@@ -407,8 +614,57 @@ def main():
                                              args.blocks, depth=depth)
                 assert r["final_block_crc_ok"] == r["final_block_frames"], (
                     "CRC failures in the streamed decode")
-                rows.append(r)
+                rows.append(_latency_cols(r))
                 print(json.dumps({"metric": "stream_rx_throughput", **r}),
+                      flush=True)
+
+    if args.mega:
+        for pair in args.mega.split(","):
+            fpb, k = (int(x) for x in pair.lower().split("x"))
+            if args.device_stream or platform != "cpu":
+                r = bench_mega_device(rxcfg, txcfg, fpb, k, args.blocks)
+            else:
+                # host-fed megastep: same H2D story as accumulate rows
+                from gr_dtl_tpu.models import session as _sess
+
+                rx = _sess.StreamRxMega(rxcfg, frames_per_block=fpb,
+                                        blocks_per_dispatch=k)
+                D = rx.dispatch_samples
+                total = (2 + args.blocks) * D
+                reps = -(-total // len(stream))
+                s = np.tile(stream, reps)[:total]
+                for i in range(2):
+                    rx.process(s[i * D:(i + 1) * D])
+                t0 = time.monotonic()
+                n_ok = n_valid = 0
+                for i in range(2, 2 + args.blocks):
+                    _o, v = rx.process(s[i * D:(i + 1) * D])
+                    n_ok += int((v & v.crc_ok).sum())
+                    n_valid += int(v.sum())
+                elapsed = time.monotonic() - t0
+                r = {"mode": "mega-host", "frames_per_block": fpb,
+                     "blocks_per_dispatch": k, "dispatch_samples": D,
+                     "timed_dispatches": args.blocks,
+                     "msamples_per_s": args.blocks * D / elapsed / 1e6,
+                     "region_elapsed_s": elapsed,
+                     "crc_ok": n_ok, "valid_frames": n_valid}
+            assert r["crc_ok"] == r["valid_frames"], (
+                "CRC failures in the megastep decode")
+            rows.append(_latency_cols(r))
+            print(json.dumps({"metric": "stream_rx_throughput", **r}),
+                  flush=True)
+
+    ingest_rows = []
+    if args.ingest:
+        fpb0 = int(args.sizes.split(",")[0])
+        blk = fpb0 * rxcfg.frame_samples
+        ingest_rows.append(bench_ingest_cost(blk))
+        print(json.dumps({"metric": "stream_ingest", **ingest_rows[-1]}),
+              flush=True)
+        if stream is not None and "skipped" not in ingest_rows[0]:
+            for r in bench_ingest_ab(rxcfg, stream, fpb0, args.blocks):
+                ingest_rows.append(_latency_cols(r))
+                print(json.dumps({"metric": "stream_ingest", **r}),
                       flush=True)
 
     dpx_rows = []
@@ -426,6 +682,7 @@ def main():
         "platform": platform,
         "frame_length": args.frame_length,
         "stream_rx": rows,
+        "stream_ingest": ingest_rows,
         "stream_duplex": dpx_rows,
         "best_msamples_per_s": best["msamples_per_s"],
         "best_frames_per_block": best["frames_per_block"],
