@@ -340,9 +340,13 @@ class StreamRxPipelined(StreamRx):
     pipelined, so the demodulated output is bit-identical, shifted by
     ``depth-1`` blocks.  This is the TPU-native answer to the
     reference's scheduler pipelining (each GR block thread overlaps its
-    neighbours; here the device queue overlaps the host fetch): on an
-    attachment where readback RTT rivals per-block compute (any remote
-    chip, or a tunnel), throughput approaches 2x StreamRx's.
+    neighbours; here the device queue overlaps the host fetch).  The
+    overlap bound is 2x StreamRx when readback RTT equals per-block
+    compute — **unmeasured on this rig**: the dev tunnel cannot run
+    per-block readback loops reliably, and the only committed A/B (the
+    duplex CPU-mechanics rows in BENCH_stream_r04.json) shows 2.35 vs
+    2.40 Ms/s, i.e. noise.  Treat the 2x as an architectural bound, not
+    a measured number, until a direct-attached chip measures it.
 
     ``process`` returns ``None`` for the first ``depth-1`` calls, then
     block ``k-depth+1``'s results; call :meth:`drain` at end of stream.
