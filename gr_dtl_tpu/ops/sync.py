@@ -102,6 +102,9 @@ def timing_metric(r: jax.Array, fft_len: int = 64):
     (2026-08-20, batch x frame_samples streams): 125 vs 123 Ms/s at
     256 frames, 177 vs 168 at 512, 231 vs 195 at 2048 (+18%) — the
     kernel wins at every batch size, growing with stream length.
+    Streaming-session shape measured 2026-08-21 (same-process A/B,
+    examples/pallas_stream_ab_r05.json): +17% at 16 frames/block,
+    +2% at 1024 — the kernel also wins in the daemon shape.
     ``GR_DTL_TPU_PALLAS=0`` forces the jnp path.  Escape hatch: on
     *this dev tunnel* (not a TPU property), once any Mosaic kernel has
     executed, device->host reads can fail persistently — host loops
