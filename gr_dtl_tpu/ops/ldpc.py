@@ -36,8 +36,9 @@ import numpy as np
 
 from gr_dtl_tpu.ops import gf2
 
-__all__ = ["build_ldpc", "encode", "decode", "decode_mm", "SHORTENED_LLR",
-           "build_ldpc_bank", "encode_bank", "decode_bank", "decode_bank_mm"]
+__all__ = ["build_ldpc", "encode", "decode", "decode_mm",
+           "decode_mm_twopass", "SHORTENED_LLR", "build_ldpc_bank",
+           "encode_bank", "decode_bank", "decode_bank_mm"]
 
 SHORTENED_LLR = 15.0
 
@@ -346,6 +347,94 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
     hard = (total < 0).astype(jnp.int32)
     ok = done | syndrome_ok_of(total)
     return hard, iters_used, ok
+
+
+def decode_mm_twopass(llr: jax.Array, code, max_iters: int = 15,
+                      first: int = 3, bucket: int | None = None):
+    """Straggler-scheduled BP: full-batch pass 1 with a small budget,
+    then converged-first ordering and bucket-wise pass 2.
+
+    The batch-wide early exit of :func:`decode_mm` makes ONE unconverged
+    codeword force the whole ``[B, E]`` transcendental message update
+    through the full budget.  Here:
+
+    1. pass 1 runs ``first`` iterations on the full batch (at operating
+       SNR most codewords converge in 1-3);
+    2. codewords are ordered converged-last (a stable ``argsort`` on the
+       done flag; row moves are contiguous slice-gathers, not element
+       gathers) and split into static ``bucket``-sized groups;
+    3. a ``lax.scan`` re-decodes each group from scratch with the full
+       budget — groups of already-converged rows pass their syndrome at
+       entry and skip every message update, so only straggler-bearing
+       groups (a minority, sorted to the front) pay the transcendental
+       loop on a ``bucket``-sized batch instead of a ``B``-sized one.
+
+    Correct at ANY straggler fraction (every codeword is re-covered by
+    some group; the sort only concentrates the work).  Semantics match
+    the reference's per-codeword 15-iteration cap (ldpc_dec.cc:27) in
+    budget; a pass-2 straggler restarts from its channel LLRs rather
+    than continuing its pass-1 messages (restarting costs nothing when
+    groups exit early, and avoids a ``[B, E]`` row gather of the
+    message state, ~3x the LLR rows).
+
+    Measured on chip 2026-08-21 (examples/bp_twopass_ab_r05.json,
+    5 interleaved A/B reps vs decode_mm at CW=2048): **no win on this
+    code/batch — 0.96x clean / 0.76x knee / 0.74x waterfall.**  The
+    batch-wide-exit baseline only pays ~0.7 ms between the 0-iteration
+    and 15-iteration regimes (3.7 -> 4.4 ms: fixed overheads dominate
+    the n=300 code's BP step), so the sort + per-group syndrome
+    overhead exceeds the total recoverable straggler cost.  Kept as the
+    scaling escape hatch for codes/batches where the transcendental
+    loop dominates; ``decode_mm`` stays the production default on
+    evidence.
+
+    Returns the same ``(hard, iters_used, ok)`` contract as
+    :func:`decode_mm`; ``iters_used`` counts pass-1 iterations plus the
+    straggler's pass-2 iterations.
+    """
+    B, N = llr.shape
+    if bucket is None:
+        bucket = max(128, B // 8)
+    nb = -(-B // bucket)
+    pad = nb * bucket - B
+
+    hard1, it1, done1 = decode_mm(llr, code, first)
+
+    # converged-last stable order; padded rows (all-zero LLR = the
+    # all-zeros codeword) decode instantly and sort as converged
+    order = jnp.argsort(done1.astype(jnp.int32), stable=True)
+    if pad:
+        llr_p = jnp.concatenate(
+            [llr, jnp.zeros((pad, N), llr.dtype)])
+        order = jnp.concatenate(
+            [order, jnp.arange(B, B + pad, dtype=order.dtype)])
+    else:
+        llr_p = llr
+    # contiguous row moves: slice-gather per row (see ops/sync
+    # extract_windows — ~4x the element-gather throughput on TPU)
+    llr_s = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(llr_p, (i, 0), (1, N))[0]
+    )(order)
+
+    def group(carry, llr_b):
+        return carry, decode_mm(llr_b, code, max_iters)
+
+    _, (hard_g, it_g, ok_g) = jax.lax.scan(
+        group, 0, llr_s.reshape(nb, bucket, N))
+    hard2 = hard_g.reshape(nb * bucket, N)
+    it2 = it_g.reshape(nb * bucket)
+    ok2 = ok_g.reshape(nb * bucket)
+    # unsort: inverse permutation scatter (tiny: [B] int rows)
+    inv = jnp.argsort(order)[:B]
+    hard2 = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(hard2, (i, 0), (1, N))[0])(inv)
+    it2 = it2[inv]
+    ok2 = ok2[inv]
+
+    hard = jnp.where(done1[:, None], hard1, hard2)
+    iters = jnp.where(done1, it1, it1 + it2)
+    ok = done1 | ok2
+    return hard, iters, ok
 
 
 # ---------------------------------------------------------------------------

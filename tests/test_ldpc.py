@@ -156,3 +156,31 @@ def test_decode_mm_bf16_mode_converges(monkeypatch):
     junk = jnp.asarray(rng.randn(B, code["N"]).astype(np.float32) * 4.0)
     _, _, okj = ldpc.decode_mm(junk, code, 15)
     assert float(jnp.mean(okj.astype(jnp.float32))) < 0.1
+
+
+def test_decode_mm_twopass_matches_decode_mm():
+    """Two-pass straggler schedule: same ok flags and identical decoded
+    messages as the batch-wide-exit decoder at every regime."""
+    import os
+
+    import jax
+
+    from gr_dtl_tpu.utils import alist as alist_mod
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0300_k_0152.alist"))
+    code = ldpc.build_ldpc(H)
+    rng = np.random.RandomState(0)
+    msg = rng.randint(0, 2, size=(300, code["K"])).astype(np.float32)
+    cws = ldpc.encode(jnp.asarray(msg), code)
+    for amp, sig in [(4.0, 0.5), (1.6, 1.0), (1.3, 1.0)]:
+        llr = ((1.0 - 2.0 * cws.astype(jnp.float32)) * amp
+               + jax.random.normal(jax.random.PRNGKey(2), cws.shape) * sig)
+        h1, _i1, ok1 = ldpc.decode_mm(llr, code, 15)
+        h2, _i2, ok2 = ldpc.decode_mm_twopass(llr, code, 15, bucket=64)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        both = np.asarray(ok1)
+        np.testing.assert_array_equal(
+            np.asarray(h1)[:, code["M"]:][both],
+            np.asarray(h2)[:, code["M"]:][both])
