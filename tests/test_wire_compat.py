@@ -223,3 +223,102 @@ def test_extracted_qpsk_normalization(clean_wire_state):
     consts = wire_compat.load(EXTRACTED)
     r = np.abs(consts["points"][2])
     np.testing.assert_allclose(r, 0.5, atol=1e-5)
+
+
+def test_foreign_constants_streaming_session(tmp_path, clean_wire_state):
+    """Always-on shape under foreign constants: a StreamRx session fed
+    chunk by chunk (carried tail/lock state, mixed MCS, mid-block frame
+    starts) recovers every byte with the relabeled tables + foreign
+    sync PN installed — the drop-in proven for the daemon shape, not
+    just batch loopback (VERDICT r4 item 9)."""
+    from gr_dtl_tpu.models import session, transmitter
+
+    path = tmp_path / "foreign.json"
+    path.write_text(json.dumps(_foreign_constants()))
+    wire_compat.activate(str(path))
+    assert cn.TABLE_MODE
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    F, n_blocks = 4, 4
+    B = (n_blocks - 1) * F
+    rng = np.random.RandomState(21)
+    cnst = rng.randint(1, 5, size=B).astype(np.int32)
+    maxb = txcfg.max_frame_bytes()
+    payload = np.zeros((B, maxb), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for i in range(B):
+        plen[i] = txcfg.frame_bytes(int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+        payload[i, : plen[i]] = rng.randint(0, 256, plen[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(5))
+    rx = session.StreamRx(cfg, frames_per_block=F)
+    blk = rx.block_samples
+    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
+    stream = np.concatenate([
+        np.zeros(317, np.complex64),
+        np.asarray(out.samples).reshape(-1),
+        np.zeros(n_blocks * blk, np.complex64)])[: n_blocks * blk]
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(6), jnp.asarray(stream),
+        float(np.sqrt(sig / 10 ** 3))))
+    decoded = {}
+    for b in range(n_blocks):
+        outb, valid = rx.process(stream[b * blk:(b + 1) * blk])
+        ok = np.asarray(outb.crc_ok) & valid
+        nos = np.asarray(outb.frame_no)
+        pays = np.asarray(outb.payload)
+        lens = np.asarray(outb.payload_len)
+        for i in np.nonzero(ok)[0]:
+            decoded[int(nos[i])] = pays[i, : lens[i]].tobytes()
+    assert len(decoded) == B, sorted(decoded)
+    for i in range(B):
+        assert decoded[i] == payload[i, : plen[i]].tobytes()
+
+
+def test_foreign_constants_code_bank(tmp_path, clean_wire_state):
+    """Multi-code LDPC bank under foreign constants: per-frame code
+    selection + the generic-table soft demap must compose (a scrambled
+    label table would corrupt every LLR stream into the bank decoder)."""
+    from gr_dtl_tpu.models import fec_chain, receiver, transmitter
+    from gr_dtl_tpu.utils import alist as alist_mod
+
+    path = tmp_path / "foreign.json"
+    path.write_text(json.dumps(_foreign_constants()))
+    wire_compat.activate(str(path))
+    cfg = cfgmod.make_tx_config(None, frame_length=10, fec=True)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10, fec=True)
+    Hs = [alist_mod.load_alist(os.path.join(HERE, "examples", n))
+          for n in ("n_0100_k_0027.alist", "n_0300_k_0152.alist")]
+    fec = fec_chain.build_fec(cfg, Hs)
+    assert fec["n_codes"] == 2
+    txp = transmitter.build_tx(cfg, fec)
+    rxp = receiver.build_rx(rxcfg, fec)
+    rng = np.random.RandomState(31)
+    B = 8
+    cnst = rng.randint(2, 5, B).astype(np.int32)  # label-sensitive MCS
+    fec_id = rng.randint(1, 3, B).astype(np.int32)
+    bps = np.asarray(cn.BITS_PER_SYMBOL)[cnst]
+    ub = np.asarray(fec["user_bytes_tab2"])[fec_id, bps].astype(np.int32)
+    payload = np.zeros((B, fec["max_payload_bytes"]), np.uint8)
+    for i in range(B):
+        payload[i, : ub[i]] = rng.randint(0, 256, ub[i])
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(ub), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(1), fec_id=jnp.asarray(fec_id))
+    stream = jnp.concatenate([jnp.zeros(223, jnp.complex64),
+                              out.samples.reshape(-1),
+                              jnp.zeros(400, jnp.complex64)])
+    sig = float(jnp.mean(jnp.abs(out.samples) ** 2))
+    stream = channel.awgn(jax.random.PRNGKey(8), stream,
+                          float(np.sqrt(sig / 10 ** (25 / 10))))
+    frames, _ = receiver.detect_and_extract(stream, rxcfg, B)
+    rx = receiver.rx_frames(rxp, frames)
+    assert bool(jnp.all(rx.header_ok))
+    assert bool(jnp.all(rx.crc_ok)), "bank TBs failed under wire tables"
+    pay = np.asarray(rx.payload)
+    for i in range(B):
+        np.testing.assert_array_equal(pay[i, : ub[i]], payload[i, : ub[i]])
