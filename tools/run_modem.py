@@ -203,6 +203,42 @@ def run_simplex(args):
     _report(args, res)
 
 
+_PALLAS_PROBE = r"""
+import os, sys
+os.environ["GR_DTL_TPU_PALLAS"] = "1"
+os.environ.setdefault("GR_DTL_TPU_FETCH_TRIES", "2")
+sys.path.insert(0, {root!r})
+import jax, jax.numpy as jnp
+from gr_dtl_tpu.utils import config as cfgmod
+from gr_dtl_tpu.models import session
+from gr_dtl_tpu.utils.fetch import fetch_np
+rx = session.StreamRx(cfgmod.make_rx_config(None, frame_length=10),
+                      frames_per_block=2)
+w = jax.jit(lambda: jnp.zeros(rx.tail_len + rx.block_samples,
+                              jnp.complex64))()
+lock, fb, exp = rx._lock, rx._fallback, rx._expected_no
+for _ in range(3):  # Mosaic launch + the daemon's per-block fetch shape
+    out, valid, lock, fb, exp, acct, _, _ = rx._step(w, lock, fb, exp, None)
+    fetch_np(acct)
+print("PALLAS_PROBE_OK")
+"""
+
+
+def _pallas_probe_ok(timeout_s: float = 120.0) -> bool:
+    """Run the Mosaic-kernel + per-block-fetch shape in a disposable
+    subprocess; True only if it exits clean with the marker."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PALLAS_PROBE.format(root=root)],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "PALLAS_PROBE_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def run_stream(args):
     """Always-on receiver daemon: complex64 samples in (file / FIFO /
     TCP), decoded frames + telemetry out — the deployment entry point
@@ -216,9 +252,21 @@ def run_stream(args):
                      TX, an SDR bridge, or another run_modem)
     """
     # per-block readback loop: pin the jnp sync path on the dev tunnel
-    # (a Mosaic launch can wedge device->host reads there; see
-    # ops/sync.timing_metric).  Set GR_DTL_TPU_PALLAS=1 explicitly on a
-    # directly-attached chip to use the fused kernel.
+    # by default (a Mosaic launch can wedge device->host reads there;
+    # see ops/sync.timing_metric — intermittent across processes/days:
+    # r04 observed persistent post-Mosaic fetch failures, while an r05
+    # probe ran 3/3 processes clean).  GR_DTL_TPU_PALLAS=1 forces the
+    # fused kernel (+17% in the streaming shape,
+    # examples/pallas_stream_ab_r05.json); GR_DTL_TPU_PALLAS=auto
+    # probes Pallas + a per-block fetch in a DISPOSABLE subprocess at
+    # startup and enables the kernel only if the probe survives — the
+    # daemon itself is never exposed to a wedge-poisoned runtime.
+    if os.environ.get("GR_DTL_TPU_PALLAS", "").lower() == "auto":
+        os.environ["GR_DTL_TPU_PALLAS"] = (
+            "1" if _pallas_probe_ok() else "0")
+        print(f"run_modem: Pallas auto-probe -> "
+              f"GR_DTL_TPU_PALLAS={os.environ['GR_DTL_TPU_PALLAS']}",
+              file=sys.stderr)
     os.environ.setdefault("GR_DTL_TPU_PALLAS", "0")
     jax = _platform(args)
     import time as _time
