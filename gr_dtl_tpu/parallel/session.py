@@ -75,14 +75,21 @@ class ShardedStreamRx:
         local quotient >= 2 so sub-blocks cover the halo).
       fec: fec_chain.build_fec table for the coded path (W>1 enables
         streaming TB reassembly, as in StreamRx).
+      blocks_per_dispatch: K>1 turns the session into the sharded
+        megastep (the multi-device StreamRxMega): an in-graph scan
+        chains K sharded blocks per dispatch — one launch + one packed
+        readback per K blocks, same per-block semantics (and the same
+        per-dispatch-overhead amortization measured for the
+        single-device megastep in BENCH_stream_r05.json).
     """
 
     def __init__(self, cfg, mesh, n_streams: int, frames_per_block: int = 16,
-                 fec=None):
+                 fec=None, blocks_per_dispatch: int = 1):
         self.cfg = cfg
         self.mesh = mesh
         self.S = int(n_streams)
         self.F = int(frames_per_block)
+        self.K = int(blocks_per_dispatch)
         self.n_time = int(mesh.shape["time"])
         n_stream_dev = int(mesh.shape["stream"])
         if self.S % n_stream_dev:
@@ -107,9 +114,14 @@ class ShardedStreamRx:
         self.fec = fec
         self._use_tb = fec is not None and fec["W"] > 1
 
+        self.dispatch_samples = self.K * self.block_samples
         s_sh = NamedSharding(mesh, P("stream"))
         self._s_sh = s_sh
-        self._chunk_sh = NamedSharding(mesh, P("stream", "time"))
+        # K == 1 feeds [S, block]; K > 1 feeds [S, K, block] so the
+        # time axis shards each block's timeline, not the block index
+        self._chunk_sh = NamedSharding(
+            mesh, P("stream", "time") if self.K == 1
+            else P("stream", None, "time"))
 
         # state arrays are created from HOST buffers and device_put
         # straight onto the mesh sharding: going through the process
@@ -267,19 +279,11 @@ class ShardedStreamRx:
                                      "valid": 0})
                        if use_tb else None)
 
-        @functools.partial(
-            shard_map, mesh=mesh,
-            in_specs=(out_sp, s, st_specs, s, s, tb_in_spec),
-            out_specs=(out_sp, out_sp, st_specs, s, s,
-                       jax.tree.map(lambda _: s, self._tb_state),
-                       tb_out_spec, s, s),
-            check_vma=False,
-        )
-        def sstep(chunk, tail, lock, fallback, expected_no, tb_state):
-            # chunk: [S_l, B_loc] local shard of this call's samples;
+        def block_fn(chunk, tail, lock, fallback, expected_no, tb_state):
+            # chunk: [S_l, B_loc] local shard of ONE block's samples;
             # ring halo: my sub-block tail -> right neighbour's left
             # context; shard 0's incoming ring value is the LAST shard's
-            # tail = the carried tail for the NEXT call
+            # tail = the carried tail for the NEXT block
             t_idx = jax.lax.axis_index("time")
             ring = jax.lax.ppermute(
                 chunk[:, -tail_len:], "time",
@@ -300,16 +304,65 @@ class ShardedStreamRx:
                                    lk.miss_count), new_fallback,
                     expected_no, tb_state, tb_out, acct_v, new_tail)
 
-        return jax.jit(sstep)
+        K = self.K
+        if K == 1:
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(out_sp, s, st_specs, s, s, tb_in_spec),
+                out_specs=(out_sp, out_sp, st_specs, s, s,
+                           jax.tree.map(lambda _: s, self._tb_state),
+                           tb_out_spec, s, s),
+                check_vma=False,
+            )
+            def sstep(chunk, tail, lock, fallback, expected_no, tb_state):
+                return block_fn(chunk, tail, lock, fallback, expected_no,
+                                tb_state)
+
+            return jax.jit(sstep)
+
+        # sharded megastep: K blocks per dispatch, the block chain run
+        # by an in-graph scan (the multi-device form of StreamRxMega —
+        # one dispatch + one packed readback per K sharded blocks)
+        mk_sp = P("stream", None, "time")
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(mk_sp, s, st_specs, s, s, tb_in_spec),
+            out_specs=(mk_sp, mk_sp, st_specs, s, s,
+                       jax.tree.map(lambda _: s, self._tb_state),
+                       tb_out_spec, s, s),
+            check_vma=False,
+        )
+        def sstep_k(chunk, tail, lock, fallback, expected_no, tb_state):
+            # chunk: [S_l, K, B_loc]
+            def body(carry, ck):
+                tail, lock, fb, exp, tb = carry
+                (out, valid, lock, fb, exp, tb, tb_out, acct,
+                 tail) = block_fn(ck, tail, lock, fb, exp, tb)
+                return (tail, lock, fb, exp, tb), (out, valid, acct, tb_out)
+
+            (tail, lock, fallback, expected_no, tb_state), ys = jax.lax.scan(
+                body, (tail, lock, fallback, expected_no, tb_state),
+                jnp.swapaxes(chunk, 0, 1))
+            outs, valids, accts, tb_outs = ys  # leaves [K, S_l, ...]
+            tr = lambda a: jnp.swapaxes(a, 0, 1)
+            return (jax.tree.map(tr, outs), tr(valids), lock, fallback,
+                    expected_no, tb_state,
+                    (jax.tree.map(tr, tb_outs) if use_tb else None),
+                    tr(accts), tail)
+
+        return jax.jit(sstep_k)
 
     # ------------------------------------------------------------------
     def _dispatch(self, chunks):
         """Launch the sharded block step and chain the carried state."""
         chunks = np.ascontiguousarray(np.asarray(chunks, np.complex64))
-        if chunks.shape != (self.S, self.block_samples):
+        if chunks.shape != (self.S, self.dispatch_samples):
             raise ValueError(
-                f"feed [{self.S}, {self.block_samples}] samples per call, "
-                f"got {chunks.shape}")
+                f"feed [{self.S}, {self.dispatch_samples}] samples per "
+                f"call (K={self.K} blocks), got {chunks.shape}")
+        if self.K > 1:
+            chunks = chunks.reshape(self.S, self.K, self.block_samples)
         chunks = jax.device_put(chunks, self._chunk_sh)
         lock = (self._lock.locked, self._lock.expected,
                 self._lock.sync_count, self._lock.miss_count)
@@ -323,16 +376,25 @@ class ShardedStreamRx:
         return out, valid, acct, tb_out
 
     def process(self, chunks):
-        """One global block -> (RxOut [S, F, ...], valid [S, F]) (+
-        ``tb_out`` dict for W>1 FEC sessions, leaves [S, F, ...])."""
+        """K=1: one global block of [S, block_samples] samples ->
+        (RxOut [S, F, ...], valid [S, F]).  K>1 (sharded megastep): [S,
+        K*block_samples] samples -> (RxOut [S, K, F, ...], valid
+        [S, K*F]).  W>1 FEC sessions return a third ``tb_out`` element
+        (leaves [S, F, ...] / [S, K, F, ...]).  ``last_valid`` /
+        ``last_header_ok`` / ``last_crc_ok`` are [S, K*F] in frame
+        order either way, from ONE packed accounting fetch."""
         out, valid, acct, tb_out = self._dispatch(chunks)
-        F = self.F
-        a = fetch_np(acct)                        # [S, 2 + 3F]
-        self.n_lost += a[:, 0].astype(np.int64)
-        self.n_frames += (a[:, 0] + a[:, 1]).astype(np.int64)
-        self.last_valid = a[:, 2: 2 + F].astype(bool)
-        self.last_header_ok = a[:, 2 + F: 2 + 2 * F].astype(bool)
-        self.last_crc_ok = a[:, 2 + 2 * F: 2 + 3 * F].astype(bool)
+        F, K = self.F, self.K
+        a = fetch_np(acct)              # [S, 2+3F] or [S, K, 2+3F]
+        a = a.reshape(self.S, K, 2 + 3 * F)
+        self.n_lost += a[:, :, 0].sum(axis=1).astype(np.int64)
+        self.n_frames += (a[:, :, 0] + a[:, :, 1]).sum(axis=1).astype(np.int64)
+        self.last_valid = (a[:, :, 2: 2 + F].astype(bool)
+                           .reshape(self.S, K * F))
+        self.last_header_ok = (a[:, :, 2 + F: 2 + 2 * F].astype(bool)
+                               .reshape(self.S, K * F))
+        self.last_crc_ok = (a[:, :, 2 + 2 * F: 2 + 3 * F].astype(bool)
+                            .reshape(self.S, K * F))
         if self._use_tb:
             return out, self.last_valid, tb_out
         return out, self.last_valid

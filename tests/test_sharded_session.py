@@ -201,3 +201,70 @@ def test_sharded_stream_rx_coded_tb_matches_single_device():
             np.testing.assert_array_equal(
                 np.asarray(fl["payload"])[s, 0, :ln],
                 np.asarray(ref_fl["payload"])[0, :ln])
+
+
+def test_sharded_megastep_matches_single_device():
+    """K=2 sharded blocks per dispatch (in-graph scan over the sharded
+    carried state) must equal 2K successive single-device StreamRx
+    blocks per stream."""
+    assert jax.device_count() >= 8
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    m = meshmod.make_mesh(n_stream=2, n_time=4)
+    S, F, K, n_disp = 2, 8, 2, 2
+    n_blocks = K * n_disp
+    B = (n_blocks - 1) * F
+
+    srx = ShardedStreamRx(cfg, m, n_streams=S, frames_per_block=F,
+                          blocks_per_dispatch=K)
+    refs = [session.StreamRx(cfg, frames_per_block=F) for _ in range(S)]
+    blk = srx.block_samples
+    assert srx.dispatch_samples == K * blk
+
+    streams, payloads, plens = [], [], []
+    for s in range(S):
+        st, pay, pl = _stream_samples(txp, txcfg, B, seed=40 + s,
+                                      offset=250 + 131 * s,
+                                      n_blocks=n_blocks, block_samples=blk)
+        streams.append(st)
+        payloads.append(pay)
+        plens.append(pl)
+    streams = np.stack(streams)
+
+    decoded = [dict() for _ in range(S)]
+    for d in range(n_disp):
+        chunk = streams[:, d * K * blk: (d + 1) * K * blk]
+        out, valid = srx.process(chunk)          # out: [S, K, F, ...]
+        pay = np.asarray(out.payload)
+        lens = np.asarray(out.payload_len)
+        nos = np.asarray(out.frame_no)
+        for s in range(S):
+            rv, rh, rc, rp, rn = [], [], [], [], []
+            for k in range(K):
+                ro, rva = refs[s].process(
+                    chunk[s, k * blk: (k + 1) * blk])
+                rv.append(np.asarray(rva))
+                rh.append(rva.header_ok)
+                rc.append(rva.crc_ok)
+                rp.append(np.asarray(ro.payload))
+                rn.append(np.asarray(ro.frame_no))
+            np.testing.assert_array_equal(valid[s], np.concatenate(rv))
+            np.testing.assert_array_equal(srx.last_header_ok[s],
+                                          np.concatenate(rh))
+            np.testing.assert_array_equal(srx.last_crc_ok[s],
+                                          np.concatenate(rc))
+            ok = (valid[s] & srx.last_crc_ok[s]).reshape(K, F)
+            np.testing.assert_array_equal(pay[s][ok],
+                                          np.stack(rp)[ok])
+            np.testing.assert_array_equal(nos[s][ok],
+                                          np.stack(rn)[ok])
+            for k, f in zip(*np.nonzero(ok)):
+                decoded[s][int(nos[s][k, f])] = (
+                    pay[s][k, f, : lens[s][k, f]].tobytes())
+    for s in range(S):
+        assert srx.n_lost[s] == refs[s].n_lost
+        assert srx.n_frames[s] == refs[s].n_frames
+        assert len(decoded[s]) == B
+        for i in range(B):
+            assert decoded[s][i] == payloads[s][i, : plens[s][i]].tobytes()
