@@ -81,7 +81,7 @@ def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
     # FFT windows start mid-CP: trigger sits on the metric plateau
     # [frame_start, frame_start+cp]; using it directly keeps every
     # 64-sample window inside its own symbol (see ops/sync.py docstring).
-    frames = sync.extract_windows(stream, trig, cfg.frame_samples)
+    frames = sync.extract_frames(stream, trig, cfg.frame_samples)
     return sync.cfo_correct(frames, eps, cfg.fft_len), eps
 
 

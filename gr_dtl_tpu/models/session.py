@@ -178,7 +178,7 @@ class StreamRx:
             )
             eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
             frames = sync.cfo_correct(
-                sync.extract_windows(samples, trig, P), eps, cfg.fft_len)
+                sync.extract_frames(samples, trig, P), eps, cfg.fft_len)
             tb_out = None
             if use_tb:
                 from gr_dtl_tpu.models import fec_chain

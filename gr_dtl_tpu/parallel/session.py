@@ -210,7 +210,7 @@ class ShardedStreamRx:
             # ---- sharded heavy path: extract + demodulate own frames --
             eps = sync.fine_cfo(Pm, trig_l, cfg.cp_len)
             frames = sync.cfo_correct(
-                sync.extract_windows(ext, trig_l, Pn), eps, cfg.fft_len)
+                sync.extract_frames(ext, trig_l, Pn), eps, cfg.fft_len)
             fb = jnp.full((F_local,), fallback, jnp.int32)
             tb_out = None
             if use_tb:

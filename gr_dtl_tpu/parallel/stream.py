@@ -63,7 +63,7 @@ def _make_local_block_rx(cfg, rxp, frames_per_block: int, block: int):
         trig = sync.frame_triggers(M, phase, frame_samples, frames_per_block)
         eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
         frames = sync.cfo_correct(
-            sync.extract_windows(ext, trig, frame_samples), eps, cfg.fft_len)
+            sync.extract_frames(ext, trig, frame_samples), eps, cfg.fft_len)
         return receiver.rx_frames(rxp, frames)
 
     return local_block_rx
