@@ -77,7 +77,7 @@ def detect_and_extract(stream: jax.Array, cfg, n_frames: int):
     P, M = sync.timing_metric(stream, cfg.fft_len)
     phase = sync.fold_detect(M, cfg.frame_samples, cfg.cp_len)
     trig = sync.frame_triggers(M, phase, cfg.frame_samples, n_frames)
-    eps = sync.fine_cfo(P, trig, cfg.cp_len)
+    eps = sync.fine_cfo(P, trig, cfg.cp_len, period=cfg.frame_samples)
     # FFT windows start mid-CP: trigger sits on the metric plateau
     # [frame_start, frame_start+cp]; using it directly keeps every
     # 64-sample window inside its own symbol (see ops/sync.py docstring).

@@ -176,7 +176,7 @@ class StreamRx:
             lock_state, (trig, valid) = streaming.trigger_lock_scan(
                 lock_state, cand, found, P
             )
-            eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
+            eps = sync.fine_cfo(Pm, trig, cfg.cp_len, period=P)
             frames = sync.cfo_correct(
                 sync.extract_frames(samples, trig, P), eps, cfg.fft_len)
             tb_out = None

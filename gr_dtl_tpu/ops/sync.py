@@ -118,6 +118,19 @@ def extract_frames(stream: jax.Array, trig: jax.Array, period: int,
     return jax.lax.cond(uniform, fast, slow, None)
 
 
+def _periodic_rows(x: jax.Array, base, period: int, n: int, length: int,
+                   left_pad: int) -> jax.Array:
+    """Rows ``x[base + k*period : +length]`` for k < n as ONE contiguous
+    slice + reshape (the stride is exactly ``period``) — no per-row
+    gather.  ``x`` is zero-padded ``left_pad`` on the left (so a
+    negative ``base`` reads zeros, not a clipped/shifted window) and
+    ``period + length`` on the right."""
+    xp = jnp.pad(x, (left_pad, period + length))
+    start = jnp.clip(base + left_pad, 0, xp.shape[-1] - n * period)
+    u = jax.lax.dynamic_slice(xp, (start,), (n * period,))
+    return u.reshape(n, period)[:, :length]
+
+
 def _moving_sum(x: jax.Array, w: int) -> jax.Array:
     """[N] -> [N - w + 1] windowed sums, numerically exact at any N.
 
@@ -265,10 +278,15 @@ def frame_triggers(M: jax.Array, phase: jax.Array, frame_samples: int,
 
     Returns [n_frames] int32 trigger positions (window-start indices).
     """
-    base = phase + jnp.arange(n_frames, dtype=jnp.int32) * frame_samples
     L = 2 * search + 1
-    start = jnp.clip(base - search, 0, M.shape[-1] - L)
-    vals = extract_windows(M, start, L)  # [n_frames, n_offs]
+    # the search bases are exactly affine (phase + k*period), so the
+    # [n_frames, L] value windows come out of one contiguous slice +
+    # reshape instead of a per-frame gather (out-of-range positions
+    # read zeros, which sit below the 0.8*max plateau threshold)
+    start = phase - search + jnp.arange(n_frames, dtype=jnp.int32) \
+        * frame_samples
+    vals = _periodic_rows(M, phase - search, frame_samples, n_frames, L,
+                          left_pad=search)
     local_max = jnp.max(vals, axis=-1, keepdims=True)
     on_plateau = vals > 0.8 * local_max
     w = jnp.where(on_plateau, vals, 0.0)
@@ -282,16 +300,40 @@ def frame_triggers(M: jax.Array, phase: jax.Array, frame_samples: int,
     return start + jnp.round(centroid_rel).astype(jnp.int32)
 
 
-def fine_cfo(P: jax.Array, triggers: jax.Array, cp_len: int = 16) -> jax.Array:
+def fine_cfo(P: jax.Array, triggers: jax.Array, cp_len: int = 16,
+             period: int | None = None) -> jax.Array:
     """Fractional CFO per frame, in subcarrier units: angle(P)/pi.
 
     Averages P over the metric plateau around the (centroid) trigger
     for noise robustness (the reference takes the single-sample value
     the ``ofdm_sync_sc_cfb`` block latched at the trigger).
+
+    Pass ``period`` (the nominal frame period) to enable the periodic
+    fast path: when the triggers fit the affine model (as
+    :func:`extract_frames`), the [B, cp+1] plateau windows come from
+    one contiguous slice + reshape; a median-anchor jitter of a few
+    samples keeps the window on the plateau, where angle(P) is flat —
+    the per-trigger gather remains the in-graph fallback.
     """
     L = cp_len + 1
-    start = jnp.clip(triggers - cp_len // 2, 0, P.shape[-1] - L)
-    Pav = jnp.sum(extract_windows(P, start, L), axis=-1)
+    B = triggers.shape[0]
+
+    def slow(_):
+        start = jnp.clip(triggers - cp_len // 2, 0, P.shape[-1] - L)
+        return extract_windows(P, start, L)
+
+    if period is None:
+        wins = slow(None)
+    else:
+        rel = triggers - jnp.arange(B, dtype=jnp.int32) * period
+        base = jnp.median(rel).astype(jnp.int32)
+        uniform = jnp.all(jnp.abs(rel - base) <= 4)
+        wins = jax.lax.cond(
+            uniform,
+            lambda _: _periodic_rows(P, base - cp_len // 2, period, B, L,
+                                     left_pad=cp_len),
+            slow, None)
+    Pav = jnp.sum(wins, axis=-1)
     return (jnp.angle(Pav) / jnp.pi).astype(jnp.float32)
 
 

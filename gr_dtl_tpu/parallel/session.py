@@ -208,7 +208,7 @@ class ShardedStreamRx:
             valid_l = jax.lax.dynamic_slice(
                 valid_all, (t_idx * F_local,), (F_local,))
             # ---- sharded heavy path: extract + demodulate own frames --
-            eps = sync.fine_cfo(Pm, trig_l, cfg.cp_len)
+            eps = sync.fine_cfo(Pm, trig_l, cfg.cp_len, period=Pn)
             frames = sync.cfo_correct(
                 sync.extract_frames(ext, trig_l, Pn), eps, cfg.fft_len)
             fb = jnp.full((F_local,), fallback, jnp.int32)

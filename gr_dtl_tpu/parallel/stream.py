@@ -61,7 +61,7 @@ def _make_local_block_rx(cfg, rxp, frames_per_block: int, block: int):
         # through the halo)
         phase = sync.phase_from_folded(folded, frame_samples, cfg.cp_len)
         trig = sync.frame_triggers(M, phase, frame_samples, frames_per_block)
-        eps = sync.fine_cfo(Pm, trig, cfg.cp_len)
+        eps = sync.fine_cfo(Pm, trig, cfg.cp_len, period=frame_samples)
         frames = sync.cfo_correct(
             sync.extract_frames(ext, trig, frame_samples), eps, cfg.fft_len)
         return receiver.rx_frames(rxp, frames)
