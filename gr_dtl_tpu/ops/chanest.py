@@ -89,13 +89,16 @@ def denoise_taps(taps: jax.Array, ce) -> jax.Array:
     return taps.at[..., idx].set(hd)
 
 
-def _shifted(y: jax.Array, off) -> jax.Array:
-    """out[k] = y[k + off] with zero fill; works over leading dims."""
+def _shifted_const(y: np.ndarray, off: int) -> np.ndarray:
+    """Static-shift helper for host constants: out[k] = y[k+off], zeroed
+    outside — the trace-time form of the old per-frame `_shifted`
+    gather (which is gone from the device graphs: arbitrary gathers run
+    ~100M elem/s on TPU, see ops/sync)."""
     n = y.shape[-1]
-    idx = jnp.arange(n) + off
-    ok = (idx >= 0) & (idx < n)
-    idx = jnp.clip(idx, 0, n - 1)
-    return jnp.where(ok, y[..., idx], 0.0)
+    out = np.zeros_like(y)
+    lo, hi = max(0, -off), min(n, n - off)
+    out[..., lo:hi] = y[..., lo + off : hi + off]
+    return out
 
 
 def estimate_carrier_offset(y1: jax.Array, y2: jax.Array, ce) -> jax.Array:
@@ -105,8 +108,8 @@ def estimate_carrier_offset(y1: jax.Array, y2: jax.Array, ce) -> jax.Array:
       y1, y2: [B, fft_len] received centered spectra of the sync symbols.
     Returns [B] int32: the spectrum is found at carrier c + n0.
     """
-    w1 = jnp.asarray(ce["w1"])
-    w2 = jnp.asarray(ce["w2"])
+    w1 = np.asarray(ce["w1"])
+    w2 = np.asarray(ce["w2"])
     offs = jnp.arange(-ce["max_off"], ce["max_off"] + 1, dtype=jnp.int32)
 
     # Differential correlation: a timing offset of d samples multiplies
@@ -115,22 +118,23 @@ def estimate_carrier_offset(y1: jax.Array, y2: jax.Array, ce) -> jax.Array:
     # products* y[k] conj(y[k+s]) against w[k] conj(w[k+s]) cancels that
     # ramp (the product's phase is a constant), leaving a sharp peak at
     # the true integer offset — same trick as the reference's chanest.
-    def diff(y, w, step):
-        dy = y * jnp.conj(jnp.roll(y, -step, axis=-1))
-        dw = w * jnp.conj(jnp.roll(w, -step, axis=-1))
-        return dy, dw
+    #
+    # All candidate shifts at once as ONE matmul against a precomputed
+    # [n_off, fft] shifted-reference table: sum_k dy[k+off] conj(dw[k])
+    # == sum_k' dy[k'] conj(dw[k'-off]) with the same edge terms zeroed
+    # either way — the per-offset shifted-data gather becomes an MXU op.
+    def dy_of(y, step):
+        return y * jnp.conj(jnp.roll(y, -step, axis=-1))
 
-    dy1, dw1 = diff(y1, w1, 2)  # sync word 1 lives on even carriers
-    dy2, dw2 = diff(y2, w2, 1)
+    def table(w, step):
+        dw = w * np.conj(np.roll(w, -step, axis=-1))
+        return np.stack([_shifted_const(dw, -int(o))
+                         for o in range(-ce["max_off"], ce["max_off"] + 1)])
 
-    def corr_at(off):
-        s1 = _shifted(dy1, off)
-        s2 = _shifted(dy2, off)
-        return jnp.abs(jnp.sum(s1 * jnp.conj(dw1), axis=-1)) + jnp.abs(
-            jnp.sum(s2 * jnp.conj(dw2), axis=-1)
-        )
-
-    scores = jax.vmap(corr_at, out_axes=-1)(offs)  # [B, n_off]
+    W1 = jnp.asarray(np.conj(table(w1, 2)))   # [n_off, fft]
+    W2 = jnp.asarray(np.conj(table(w2, 1)))
+    scores = (jnp.abs(dy_of(y1, 2) @ W1.T)
+              + jnp.abs(dy_of(y2, 1) @ W2.T))  # [B, n_off]
     return offs[jnp.argmax(scores, axis=-1)].astype(jnp.int32)
 
 
@@ -141,9 +145,23 @@ def apply_carrier_shift(spectra: jax.Array, carr_offset: jax.Array,
     De-shift by n0 carriers and remove the per-symbol common phase
     (see module docstring).  ``first_sym_index`` is the absolute index
     within the frame (sync symbols included) of ``spectra[:, 0]``.
+
+    The per-frame shift is a batched matmul against a per-frame shift
+    matrix selected by one-hot from 2*max_off+1 constant matrices —
+    the [B, n_sym, fft] arbitrary gather this replaces was the hottest
+    op left in the demod chain.
     """
     n_sym = spectra.shape[1]
-    shifted = jax.vmap(_shifted)(spectra, carr_offset)  # vmap over B
+    n = spectra.shape[-1]
+    n_off = 2 * ce["max_off"] + 1
+    # SHIFT[o, k, l] = 1 iff out[l] = y[k] for offset o, i.e. k = l + off
+    eye = np.eye(n, dtype=np.float32)
+    SHIFT = np.stack([_shifted_const(eye, -int(o)).T
+                      for o in range(-ce["max_off"], ce["max_off"] + 1)])
+    oneh = jax.nn.one_hot(carr_offset + ce["max_off"], n_off,
+                          dtype=jnp.float32)                 # [B, n_off]
+    M = jnp.einsum("bo,okl->bkl", oneh, jnp.asarray(SHIFT))  # [B, n, n]
+    shifted = jnp.einsum("bsk,bkl->bsl", spectra, M.astype(spectra.dtype))
     s = jnp.arange(n_sym, dtype=jnp.float32) + jnp.float32(first_sym_index)
     ph = (
         -2.0 * jnp.pi * carr_offset[:, None].astype(jnp.float32)
