@@ -129,6 +129,37 @@ def equalize_frame(spectra: jax.Array, init_taps: jax.Array,
         cnst_id[:, None].astype(jnp.int32),
     )  # [B, n_sym]
 
+    if float(alpha) >= 0.9995:
+        # frozen-taps fast path: with alpha ~= 1 the decision-directed
+        # update is a no-op, the symbol recurrence disappears, and the
+        # whole frame equalizes as one vectorized op instead of a
+        # 20+-step scan (bit-exact vs the scan at alpha == 1 since H
+        # never changes).  Measured opt-in, NOT the pass-2 default:
+        # freezing pass-2 taps doubles QAM16 BER at 23 dB because the
+        # slow DD tracking absorbs residual per-symbol drift
+        # (examples/eq_pass2_alpha_ablation.json) — set
+        # cfg.eq_pass2_alpha = 1.0 only when trading that dB fraction
+        # for throughput.
+        pv = pilot_vals[sym_offset : sym_offset + n_sym][None]  # [1,S,fft]
+        eqd = spectra / init_taps[:, None, :]
+        _, dec = cn.nearest_point(eqd, sym_cnst[:, :, None])
+        hard = jnp.where(pil[None, None, :], pv, dec)
+        err = jnp.where(pil[None, None, :], eqd - pv, 0.0)
+        n_pilots = jnp.sum(pil)
+        tot = n_sym * n_pilots
+        noise_var = jnp.maximum(
+            jnp.sum(jnp.abs(err) ** 2, axis=(1, 2)) / tot, 1e-12)
+        sig_scalar = jnp.maximum(
+            jnp.sum(jnp.where(pil[None, None, :],
+                              jnp.abs(pv) ** 2, 0.0)) / tot, 1e-12)
+        sig_pw = jnp.broadcast_to(sig_scalar, noise_var.shape)
+        snr_db = 10.0 * jnp.log10(sig_pw / noise_var)
+        return EqualizerOut(
+            hard=hard, soft=eqd, taps=init_taps,
+            snr_db=snr_db.astype(jnp.float32),
+            noise_var=noise_var.astype(jnp.float32),
+        )
+
     def step(H, xs):
         Y, pv, cid = xs  # Y: [B, fft], pv: [fft], cid: [B]
         eqd = Y / H  # [B, fft]
