@@ -42,9 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gr_dtl_tpu.ops import burst, constellation as cn, metrics, sync
+from gr_dtl_tpu.ops import burst, constellation as cn, sync
 from gr_dtl_tpu.models import adaptive, receiver, streaming, transmitter
-from gr_dtl_tpu.utils.fetch import fetch_float, fetch_np
+from gr_dtl_tpu.utils.fetch import fetch_np
 
 __all__ = ["StreamRx", "StreamRxPipelined", "StreamRxMega", "StreamTx",
            "StreamDuplex", "StreamBurstRx", "StreamSimplex"]

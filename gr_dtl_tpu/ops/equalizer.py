@@ -36,7 +36,6 @@ Semantics mirror the reference exactly:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
