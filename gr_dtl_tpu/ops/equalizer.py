@@ -183,7 +183,11 @@ def equalize_frame(spectra: jax.Array, init_taps: jax.Array,
         pilot_vals[sym_offset : sym_offset + n_sym],
         jnp.moveaxis(sym_cnst, 1, 0),  # [n_sym, B]
     )
-    H_final, (hard, soft, p_e2, p_s2) = jax.lax.scan(step, init_taps, xs)
+    # unroll: same math, 4 symbols per compiled loop iteration — the
+    # per-step tensors are tiny ([B, 64]), so loop overhead is a real
+    # fraction of the scan's cost on the sequential DD chain
+    H_final, (hard, soft, p_e2, p_s2) = jax.lax.scan(step, init_taps, xs,
+                                                     unroll=4)
 
     n_pilots = jnp.sum(pil)
     tot = n_sym * n_pilots
