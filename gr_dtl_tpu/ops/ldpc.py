@@ -340,9 +340,12 @@ def decode_mm(llr: jax.Array, code, max_iters: int = 15):
                             carry), None
 
     c2v0 = jnp.zeros((B, int(code["E"])), jnp.float32)
+    # unroll=3: the scan body is one cond'd message update — unrolling
+    # trims loop overhead without changing the batch-wide early exit
+    # (each unrolled iteration still skips once all syndromes pass)
     (c2v, iters_used, done), _ = jax.lax.scan(
         body, (c2v0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
-        None, length=max_iters)
+        None, length=max_iters, unroll=3)
     total = llr + mm(c2v, Vmat.T)
     hard = (total < 0).astype(jnp.int32)
     ok = done | syndrome_ok_of(total)
