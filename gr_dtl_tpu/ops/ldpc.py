@@ -236,7 +236,7 @@ def decode(llr: jax.Array, code, max_iters: int = 15):
     iters0 = jnp.zeros((B,), jnp.int32)
     done0 = jnp.zeros((B,), bool)
     (c2v, iters_used, done), _ = jax.lax.scan(
-        body, (c2v0, iters0, done0), None, length=max_iters
+        body, (c2v0, iters0, done0), None, length=max_iters, unroll=3
     )
     inc = gather_c2v_for_vars(c2v)
     inc = jnp.where(var_mask[None], inc, 0.0)
@@ -636,7 +636,7 @@ def decode_bank(llr: jax.Array, code_idx: jax.Array, bank,
     c2v0 = jnp.zeros((B, M, R), jnp.float32)
     (c2v, iters_used, done), _ = jax.lax.scan(
         body, (c2v0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
-        None, length=max_iters)
+        None, length=max_iters, unroll=3)
     inc = c2v[b_ix, ve_chk, ve_slot]
     inc = jnp.where(var_mask, inc, 0.0)
     total = llr + jnp.sum(inc, axis=-1)
