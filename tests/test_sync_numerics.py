@@ -9,6 +9,7 @@ import numpy as np
 
 from gr_dtl_tpu.utils import config as cfgmod
 from gr_dtl_tpu.ops import channel
+from gr_dtl_tpu.ops import sync
 from gr_dtl_tpu.ops.sync import _moving_sum, extract_windows
 from gr_dtl_tpu.models import receiver, transmitter
 import pytest
@@ -115,3 +116,53 @@ class TestTapDenoise:
         err_out = np.mean(np.abs(out[a] - H[a]) ** 2)
         # |S|/n_active = 33/52 -> ~2 dB; assert we get most of it
         assert err_out < 0.75 * err_in
+
+
+def test_extract_frames_fallback_matches_gather():
+    """Non-affine triggers (drift > tol) must take the exact gather
+    path: extract_frames == extract_windows bit-for-bit."""
+    rng = np.random.RandomState(0)
+    P = 560
+    B = 6
+    stream = jnp.asarray((rng.randn(B * P + 800)
+                          + 1j * rng.randn(B * P + 800)).astype(np.complex64))
+    # drifting triggers: deviation grows past the +-4 tolerance
+    trig = jnp.asarray((np.arange(B) * P + 100
+                        + np.arange(B) * 3).astype(np.int32))
+    got = sync.extract_frames(stream, trig, P)
+    want = sync.extract_windows(stream, trig, P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_extract_frames_fast_path_takes_affine_slices():
+    """Affine triggers (jitter <= tol around the median anchor) take the
+    slice+reshape path: windows equal the gather at the ANCHORED
+    positions (uniform grid), which stay within the jitter of the
+    requested ones."""
+    rng = np.random.RandomState(1)
+    P = 560
+    B = 8
+    stream = jnp.asarray((rng.randn(B * P + 800)
+                          + 1j * rng.randn(B * P + 800)).astype(np.complex64))
+    jitter = np.array([0, 1, -2, 3, -1, 2, 0, 1], np.int32)
+    base = 97
+    trig = jnp.asarray(np.arange(B, dtype=np.int32) * P + base + jitter)
+    got = np.asarray(sync.extract_frames(stream, trig, P))
+    anchor = int(np.median(base + jitter))
+    uniform = jnp.asarray(np.arange(B, dtype=np.int32) * P + anchor)
+    want = np.asarray(sync.extract_windows(stream, uniform, P))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fine_cfo_periodic_matches_gather_on_affine():
+    """fine_cfo with a period hint agrees with the per-trigger gather
+    form when triggers are exactly affine (same windows)."""
+    rng = np.random.RandomState(2)
+    P = 560
+    B = 8
+    Pm = jnp.asarray((rng.randn(B * P + 800)
+                      + 1j * rng.randn(B * P + 800)).astype(np.complex64))
+    trig = jnp.asarray(np.arange(B, dtype=np.int32) * P + 123)
+    a = np.asarray(sync.fine_cfo(Pm, trig, 16))
+    b = np.asarray(sync.fine_cfo(Pm, trig, 16, period=P))
+    np.testing.assert_allclose(a, b, atol=1e-6)
