@@ -99,6 +99,11 @@ def extract_frames(stream: jax.Array, trig: jax.Array, period: int,
     Returns [B, period].
     """
     B = trig.shape[0]
+    if stream.shape[-1] < B * period:
+        # the uniform grid would not fit (static shapes — known at
+        # trace time): the clipped fast path would silently shift every
+        # window, so use the per-window gather unconditionally
+        return extract_windows(stream, trig, period)
     # anchor the affine model at the MEDIAN per-frame offset: centroid
     # refinement jitters +-3 samples around the typical plateau center,
     # so a first-frame anchor (edge effects) would miss the cluster
