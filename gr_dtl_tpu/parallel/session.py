@@ -84,9 +84,21 @@ class ShardedStreamRx:
     """
 
     def __init__(self, cfg, mesh, n_streams: int, frames_per_block: int = 16,
-                 fec=None, blocks_per_dispatch: int = 1):
+                 fec=None, blocks_per_dispatch: int = 1, probe=None):
         self.cfg = cfg
         self.mesh = mesh
+        # optional continuous telemetry, as on StreamRx: one
+        # MonitorEqMsg per received frame of every stream per block
+        # (stream-major; the wire schema has no stream field, so a
+        # multi-stream deployment that needs attribution should attach
+        # one session per probe endpoint)
+        self.probe = probe
+        self._eq_builder = None
+        if probe is not None:
+            from gr_dtl_tpu.testbed import monitor as _mon
+
+            self._mon = _mon
+            self._eq_builder = _mon.MonitorProto(_mon.EQ_MSG)
         self.S = int(n_streams)
         self.F = int(frames_per_block)
         self.K = int(blocks_per_dispatch)
@@ -395,6 +407,20 @@ class ShardedStreamRx:
                                .reshape(self.S, K * F))
         self.last_crc_ok = (a[:, :, 2 + 2 * F: 2 + 3 * F].astype(bool)
                             .reshape(self.S, K * F))
+        if self.probe is not None:
+            import types
+
+            ok = self.last_valid & self.last_header_ok       # [S, K*F]
+            cnst = fetch_np(out.cnst_id).reshape(self.S, K * F)
+            snr = fetch_np(out.snr_db).reshape(self.S, K * F)
+            noise = fetch_np(out.noise_var).reshape(self.S, K * F)
+            rates = self.lost_frame_rate
+            for s in range(self.S):
+                view = types.SimpleNamespace(
+                    cnst_id=cnst[s], snr_db=snr[s], noise_var=noise[s])
+                msgs = self._mon.eq_messages(view, float(rates[s]))
+                for i in np.nonzero(ok[s])[0]:
+                    self.probe.send(self._eq_builder.build(msgs[int(i)]))
         if self._use_tb:
             return out, self.last_valid, tb_out
         return out, self.last_valid

@@ -268,3 +268,43 @@ def test_sharded_megastep_matches_single_device():
         assert len(decoded[s]) == B
         for i in range(B):
             assert decoded[s][i] == payloads[s][i, : plens[s][i]].tobytes()
+
+
+def test_sharded_session_probe_telemetry():
+    """A probe-equipped sharded session publishes one parseable
+    MonitorEqMsg per received frame of every stream (the always-on
+    monitor attachment, ref frame_equalizer_vcvc_impl.cc:210-216)."""
+    from gr_dtl_tpu.testbed import monitor
+
+    assert jax.device_count() >= 8
+    cfg = cfgmod.make_rx_config(None, frame_length=10)
+    txcfg = cfgmod.make_tx_config(None, frame_length=10)
+    txp = transmitter.build_tx(txcfg)
+    m = meshmod.make_mesh(n_stream=2, n_time=4)
+    S, F, n_blocks = 2, 8, 2
+    B = F  # one block of frames per stream, second block idle
+
+    probe = monitor.MonitorProbe(address=None)  # capture mode
+    srx = ShardedStreamRx(cfg, m, n_streams=S, frames_per_block=F,
+                          probe=probe)
+    blk = srx.block_samples
+    streams = []
+    for s in range(S):
+        st, _pay, _pl = _stream_samples(txp, txcfg, B, seed=70 + s,
+                                        offset=200 + 101 * s,
+                                        n_blocks=n_blocks, block_samples=blk)
+        streams.append(st)
+    streams = np.stack(streams)
+    n_received = 0
+    for b in range(n_blocks):
+        _out, valid = srx.process(streams[:, b * blk: (b + 1) * blk])
+        n_received += int((valid & srx.last_header_ok).sum())
+    assert n_received >= S * B  # every transmitted frame was received
+    assert len(probe.captured) == n_received
+    parser = monitor.MonitorParser()
+    seen_snrs = []
+    for blob in probe.captured:
+        msg = parser.parse(blob)
+        seen_snrs.append(msg["estimated_snr_tag_key"])
+    # 30 dB AWGN: SNR estimates in a sane band
+    assert all(15.0 < v < 45.0 for v in seen_snrs), seen_snrs[:5]
