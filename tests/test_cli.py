@@ -281,3 +281,16 @@ def test_stream_tx_rx_cli_link():
     # the EOF boundary
     assert rx_res["frames_crc_ok"] >= 20
     assert rx_res["frames_crc_ok"] == rx_res["frames_header_ok"]
+
+
+def test_stream_sharded_selftest():
+    """The sharded daemon CLI decodes its own multi-stream input
+    CRC-clean on the virtual mesh (megastep included)."""
+    stdout = _run(["tools/run_modem.py", "stream-sharded", "--selftest",
+                   "--streams", "2", "--mesh-stream", "2",
+                   "--mesh-time", "4", "--frames-per-block", "8",
+                   "--blocks-per-dispatch", "2", "--frame-length", "10",
+                   "--json"])
+    out = json.loads(stdout.strip().splitlines()[-1])
+    assert out["selftest_pass"] is True
+    assert out["frames_crc_ok"] == out["frames_header_ok"] > 0

@@ -15,6 +15,11 @@ Modes:
                two-process link:
                  run_modem.py stream --source listen:5661 ... &
                  run_modem.py stream-tx --sink tcp:127.0.0.1:5661 ...
+  stream-sharded
+               always-on SHARDED RX daemon: N streams over a
+               (stream, time) device mesh, carried state chained on
+               device (parallel/session.ShardedStreamRx); megastep via
+               --blocks-per-dispatch; --selftest self-checks
 
 Examples:
   run_modem.py loopback --config examples/config.json --frames 64 --snr-db 25
@@ -432,6 +437,137 @@ def run_stream(args):
     _report(args, res)
 
 
+def run_stream_sharded(args):
+    """Always-on SHARDED receiver daemon: N independent streams over a
+    (stream, time) device mesh with all carried state chained on device
+    (parallel/session.ShardedStreamRx) — the multi-chip deployment
+    entry point (SURVEY §7 step 5).
+
+    Input layout (``--source file:PATH``): successive dispatch chunks,
+    each ``streams * dispatch_samples`` complex64 stored stream-major
+    ([S, dispatch_samples] row-major per chunk).  ``--selftest``
+    generates its own multi-stream input (TX on the CPU backend),
+    consumes it, and asserts every frame decodes.
+    """
+    os.environ.setdefault("GR_DTL_TPU_PALLAS", "0")
+    jax = _platform(args)
+    import jax.numpy as jnp
+
+    from gr_dtl_tpu.utils import config as cfgmod
+    from gr_dtl_tpu.parallel import mesh as meshmod
+    from gr_dtl_tpu.parallel.session import ShardedStreamRx
+
+    rxcfg = cfgmod.make_rx_config(args.config, frame_length=args.frame_length)
+    mesh = meshmod.make_mesh(n_stream=args.mesh_stream, n_time=args.mesh_time)
+    probe = None
+    if args.zmq:
+        from gr_dtl_tpu.testbed import monitor
+
+        probe = monitor.MonitorProbe(args.zmq)
+    srx = ShardedStreamRx(rxcfg, mesh, n_streams=args.streams,
+                          frames_per_block=args.frames_per_block,
+                          blocks_per_dispatch=args.blocks_per_dispatch,
+                          probe=probe)
+    S, D = args.streams, srx.dispatch_samples
+    chunk_len = S * D
+
+    src_path = None
+    payloads = None
+    if args.selftest:
+        import tempfile
+
+        from gr_dtl_tpu.models import transmitter
+        from gr_dtl_tpu.ops import channel, constellation as cn
+
+        n_chunks = max(2, args.max_blocks or 3)
+        B = (n_chunks * args.blocks_per_dispatch - 1) * args.frames_per_block
+        rng = np.random.RandomState(args.seed)
+        payloads = []
+        with jax.default_device(jax.devices("cpu")[0]):
+            txcfg = cfgmod.make_tx_config(args.config,
+                                          frame_length=args.frame_length)
+            txp = transmitter.build_tx(txcfg)
+            chunks = np.zeros((S, n_chunks * D), np.complex64)
+            maxb = txcfg.max_frame_bytes()
+            for s in range(S):
+                cnst = rng.randint(1, 5, B).astype(np.int32)
+                pay = np.zeros((B, maxb), np.uint8)
+                plen = np.zeros(B, np.int32)
+                for i in range(B):
+                    plen[i] = txcfg.frame_bytes(
+                        int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+                    pay[i, : plen[i]] = rng.randint(0, 256, plen[i])
+                out = transmitter.tx_frames(
+                    txp, jnp.asarray(pay), jnp.asarray(plen),
+                    jnp.asarray(cnst), jnp.zeros(B, jnp.int32),
+                    jnp.arange(B, dtype=jnp.int32), jax.random.PRNGKey(s))
+                flat = np.asarray(out.samples).reshape(-1)
+                sig = float(np.mean(np.abs(flat) ** 2))
+                off = 150 + 89 * s
+                chunks[s, off: off + flat.size] = flat
+                chunks[s] = np.asarray(channel.awgn(
+                    jax.random.PRNGKey(100 + s), jnp.asarray(chunks[s]),
+                    float(np.sqrt(sig / 10 ** (args.snr_db / 10)))))
+                payloads.append((pay, plen))
+        tmp = tempfile.NamedTemporaryFile(suffix=".c64", delete=False)
+        # stream-major per dispatch chunk
+        for c in range(n_chunks):
+            chunks[:, c * D: (c + 1) * D].tofile(tmp)
+        tmp.close()
+        src_path = tmp.name
+    else:
+        if not args.source or not args.source.startswith("file:"):
+            sys.exit("error: stream-sharded requires --source file:PATH "
+                     "(or --selftest)")
+        src_path = args.source[len("file:"):]
+
+    data = np.fromfile(src_path, np.complex64)
+    n_chunks = len(data) // chunk_len
+    if n_chunks == 0:
+        sys.exit(f"error: {src_path!r} holds less than one "
+                 f"[{S}, {D}] dispatch chunk")
+
+    decoded = [dict() for _ in range(S)]
+    n_hdr = n_crc = 0
+    for c in range(n_chunks):
+        chunk = data[c * chunk_len: (c + 1) * chunk_len].reshape(S, D)
+        out, valid = srx.process(chunk)[:2]
+        n_hdr += int(srx.last_header_ok.sum())
+        n_crc += int((valid & srx.last_crc_ok).sum())
+        pays = fetch_np(out.payload).reshape(S, -1, out.payload.shape[-1])
+        lens = fetch_np(out.payload_len).reshape(S, -1)
+        nos = fetch_np(out.frame_no).reshape(S, -1)
+        ok = (valid & srx.last_crc_ok)
+        for s in range(S):
+            for i in np.nonzero(ok[s])[0]:
+                decoded[s][int(nos[s][i])] = (
+                    pays[s][i, : lens[s][i]].tobytes())
+    res = {
+        "mode": "stream-sharded",
+        "streams": S,
+        "mesh": {"stream": int(mesh.shape["stream"]),
+                 "time": int(mesh.shape["time"])},
+        "blocks_per_dispatch": args.blocks_per_dispatch,
+        "dispatch_chunks": n_chunks,
+        "frames_header_ok": n_hdr,
+        "frames_crc_ok": n_crc,
+        "lost_frames": int(srx.n_lost.sum()),
+    }
+    if args.selftest:
+        ok_all = True
+        for s in range(S):
+            pay, plen = payloads[s]
+            for i in range(pay.shape[0]):
+                if decoded[s].get(i) != pay[i, : plen[i]].tobytes():
+                    ok_all = False
+        res["selftest_pass"] = ok_all
+        os.unlink(src_path)
+        if not ok_all:
+            _report(args, res)
+            sys.exit("stream-sharded selftest FAILED")
+    _report(args, res)
+
+
 def run_stream_tx(args):
     """Always-on transmitter daemon: PDUs -> StreamTx -> c64 sample
     sink (file/FIFO/TCP) — the TX half of a two-process `stream` link
@@ -568,7 +704,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("mode", choices=["loopback", "full-duplex", "simplex",
-                                    "stream", "stream-tx"])
+                                    "stream", "stream-tx",
+                                    "stream-sharded"])
     p.add_argument("--sink", default=None,
                    help="stream-tx mode: file:PATH | fifo:PATH | "
                         "tcp:HOST:PORT sample output")
@@ -590,6 +727,16 @@ def main():
                         "blocks (soak telemetry: counters + RSS)")
     p.add_argument("--max-blocks", type=int, default=0,
                    help="stream mode: stop after N blocks (0 = until EOF)")
+    p.add_argument("--streams", type=int, default=4,
+                   help="stream-sharded: independent streams")
+    p.add_argument("--mesh-stream", type=int, default=None,
+                   help="stream-sharded: devices on the stream axis")
+    p.add_argument("--mesh-time", type=int, default=1,
+                   help="stream-sharded: devices on the time axis")
+    p.add_argument("--blocks-per-dispatch", type=int, default=1,
+                   help="stream-sharded: K blocks per dispatch (megastep)")
+    p.add_argument("--selftest", action="store_true",
+                   help="stream-sharded: generate own input, assert decode")
     p.add_argument("--tb-frames", type=int, default=1,
                    help="stream mode: frames per transport block (FEC "
                         "configs; >1 enables streaming TB reassembly)")
@@ -635,11 +782,15 @@ def main():
         args.config = base  # make_*_config accepts a dict
     if args.mode == "stream" and not args.source:
         sys.exit("error: stream mode requires --source")
+    if (args.mode == "stream-sharded" and not args.selftest
+            and not args.source):
+        sys.exit("error: stream-sharded requires --source or --selftest")
     if args.mode == "stream-tx" and not args.sink:
         sys.exit("error: stream-tx mode requires --sink")
     {"loopback": run_loopback, "full-duplex": run_full_duplex,
      "simplex": run_simplex, "stream": run_stream,
-     "stream-tx": run_stream_tx}[args.mode](args)
+     "stream-tx": run_stream_tx,
+     "stream-sharded": run_stream_sharded}[args.mode](args)
 
 
 if __name__ == "__main__":
