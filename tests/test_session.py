@@ -583,3 +583,77 @@ def test_stream_rx_prefetch_ingest_identical():
         np.testing.assert_array_equal(np.asarray(oa.payload),
                                       np.asarray(ob.payload))
     assert rx_a.n_lost == rx_b.n_lost and rx_a.n_frames == rx_b.n_frames
+
+
+def test_stream_rx_mega_coded_tb_matches_stream_rx():
+    """Megastep with W=2 transport blocks: the TB ring chained through
+    the in-graph scan must emit the same TBs as K successive StreamRx
+    calls (loss re-anchoring included)."""
+    import os
+
+    from gr_dtl_tpu.utils import alist as alist_mod
+    from gr_dtl_tpu.models import fec_chain
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    H = alist_mod.load_alist(os.path.join(here, "examples",
+                                          "n_0100_k_0027.alist"))
+    W = 2
+    txcfg = cfgmod.make_tx_config(None, frame_length=10, fec=True)
+    rxcfg = cfgmod.make_rx_config(None, frame_length=10, fec=True)
+    fec = fec_chain.build_fec(txcfg, H, tb_frames=W)
+    txp = transmitter.build_tx(txcfg, fec)
+    F, K, n_disp = 4, 2, 2
+    ref = session.StreamRx(rxcfg, frames_per_block=F, fec=fec)
+    mega = session.StreamRxMega(rxcfg, frames_per_block=F,
+                                blocks_per_dispatch=K, fec=fec)
+    blk = ref.block_samples
+    n_blocks = K * n_disp
+    G = (n_blocks - 1) * F // W  # TBs (idle air at the end)
+    B = G * W
+    rng = np.random.RandomState(17)
+    payload = np.zeros((B, fec["max_payload_bytes"]), np.uint8)
+    plen = np.zeros(B, np.int32)
+    cnst = np.full(B, 2, np.int32)
+    nb = int(fec["user_bytes_tab"][2])
+    for g in range(G):
+        plen[g * W] = nb
+        payload[g * W, :nb] = rng.randint(0, 256, nb)
+    out = transmitter.tx_frames(
+        txp, jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(cnst),
+        jnp.zeros(B, jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(3))
+    samples = np.asarray(out.samples).copy()
+    sig = float(np.mean(np.abs(samples) ** 2))
+    # corrupt one mid-TB frame: re-anchoring must chain through the scan
+    P = rxcfg.frame_samples
+    k = jax.random.PRNGKey(55)
+    samples[3] = np.asarray(
+        (jax.random.normal(k, (P,)) + 1j
+         * jax.random.normal(jax.random.split(k)[0], (P,)))
+        * np.sqrt(sig / 2)).astype(np.complex64)
+    stream = np.concatenate([
+        np.zeros(260, np.complex64), samples.reshape(-1),
+        np.zeros(n_blocks * blk, np.complex64)])[: n_blocks * blk]
+    stream = np.asarray(channel.awgn(
+        jax.random.PRNGKey(5), jnp.asarray(stream),
+        float(np.sqrt(sig / 10 ** 3))))
+
+    ref_tbs = []
+    for b in range(n_blocks):
+        _o, _v, tb = ref.process(stream[b * blk: (b + 1) * blk])
+        ref_tbs.append({kk: np.asarray(vv) for kk, vv in tb.items()})
+    for d in range(n_disp):
+        _o, _v, tb = mega.process(stream[d * K * blk: (d + 1) * K * blk])
+        tb = {kk: np.asarray(vv) for kk, vv in tb.items()}
+        for kk in ("valid", "crc_ok", "tb_no", "payload_len"):
+            want = np.concatenate(
+                [r[kk] for r in ref_tbs[d * K: (d + 1) * K]])
+            np.testing.assert_array_equal(tb[kk], want,
+                                          err_msg=f"tb[{kk}] d={d}")
+        want_pay = np.concatenate(
+            [r["payload"] for r in ref_tbs[d * K: (d + 1) * K]])
+        v = tb["valid"] & tb["crc_ok"]
+        np.testing.assert_array_equal(tb["payload"][v], want_pay[v])
+    # flush parity
+    mf, rf = mega.flush_tb(), ref.flush_tb()
+    assert bool(np.asarray(mf["valid"])[0]) == bool(np.asarray(rf["valid"])[0])
