@@ -135,12 +135,16 @@ class ShardedStreamRx:
             mesh, P("stream", "time") if self.K == 1
             else P("stream", None, "time"))
 
-        # state arrays are created from HOST buffers and device_put
-        # straight onto the mesh sharding: going through the process
-        # default device would be wrong when the mesh lives on a
-        # different backend (the CPU dry-run mesh next to a real chip)
+        # state arrays are created from HOST buffers straight onto the
+        # mesh sharding (going through the process default device would
+        # be wrong when the mesh lives on a different backend, e.g. the
+        # CPU dry-run mesh next to a real chip).  make_array_from_callback
+        # also works when the mesh spans multiple PROCESSES (each host
+        # materializes only its addressable shards from the same
+        # deterministic host buffer), so the session runs unchanged over
+        # a jax.distributed global mesh.
         def dev(x):
-            return jax.device_put(np.asarray(x), s_sh)
+            return self._gput(np.asarray(x), s_sh)
 
         S = self.S
         self._tail = dev(np.zeros((S, self.tail_len), np.complex64))
@@ -169,13 +173,30 @@ class ShardedStreamRx:
         self.last_crc_ok = np.zeros((S, self.F), bool)
         self._step = self._build_step()
 
+    @staticmethod
+    def _gput(x, sharding):
+        """Host buffer -> sharded device array; multiprocess-safe (each
+        process uploads only its addressable shards)."""
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    def _fetch(self, x):
+        """Device -> host for a (possibly multi-process) global array."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return fetch_np(x)
+
     def _fresh_tb_state(self):
         from gr_dtl_tpu.models import fec_chain
 
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             one = fec_chain.init_tb_state(self.fec)
         return jax.tree.map(
-            lambda a: jax.device_put(
+            lambda a: self._gput(
                 np.broadcast_to(np.asarray(a)[None],
                                 (self.S,) + np.asarray(a).shape).copy(),
                 self._s_sh), one)
@@ -375,7 +396,7 @@ class ShardedStreamRx:
                 f"call (K={self.K} blocks), got {chunks.shape}")
         if self.K > 1:
             chunks = chunks.reshape(self.S, self.K, self.block_samples)
-        chunks = jax.device_put(chunks, self._chunk_sh)
+        chunks = self._gput(chunks, self._chunk_sh)
         lock = (self._lock.locked, self._lock.expected,
                 self._lock.sync_count, self._lock.miss_count)
         (out, valid, lock, self._fallback, self._expected_no,
@@ -397,7 +418,7 @@ class ShardedStreamRx:
         order either way, from ONE packed accounting fetch."""
         out, valid, acct, tb_out = self._dispatch(chunks)
         F, K = self.F, self.K
-        a = fetch_np(acct)              # [S, 2+3F] or [S, K, 2+3F]
+        a = self._fetch(acct)           # [S, 2+3F] or [S, K, 2+3F]
         a = a.reshape(self.S, K, 2 + 3 * F)
         self.n_lost += a[:, :, 0].sum(axis=1).astype(np.int64)
         self.n_frames += (a[:, :, 0] + a[:, :, 1]).sum(axis=1).astype(np.int64)
@@ -411,9 +432,9 @@ class ShardedStreamRx:
             import types
 
             ok = self.last_valid & self.last_header_ok       # [S, K*F]
-            cnst = fetch_np(out.cnst_id).reshape(self.S, K * F)
-            snr = fetch_np(out.snr_db).reshape(self.S, K * F)
-            noise = fetch_np(out.noise_var).reshape(self.S, K * F)
+            cnst = self._fetch(out.cnst_id).reshape(self.S, K * F)
+            snr = self._fetch(out.snr_db).reshape(self.S, K * F)
+            noise = self._fetch(out.noise_var).reshape(self.S, K * F)
             rates = self.lost_frame_rate
             for s in range(self.S):
                 view = types.SimpleNamespace(

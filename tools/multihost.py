@@ -178,6 +178,158 @@ def worker(args):
     print("WORKER_RESULT " + json.dumps(res), flush=True)
 
 
+def session_worker(args):
+    """One process of a REAL 2-process continuous sharded streaming
+    session: ShardedStreamRx over the global (stream, time) mesh with
+    carried state chained across process() calls THROUGH the
+    distributed mesh — the always-on multi-host mode (the one-shot
+    loopback steps of --worker prove the SPMD step; this proves the
+    session)."""
+    import numpy as np
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from gr_dtl_tpu.parallel import dist
+
+    assert dist.init(), "dist.init() did not initialize jax.distributed"
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from gr_dtl_tpu.models import transmitter
+    from gr_dtl_tpu.ops import channel, constellation as cn
+    from gr_dtl_tpu.parallel.session import ShardedStreamRx
+    from gr_dtl_tpu.utils import config as cfgmod
+
+    p = _params()
+    mesh = dist.make_host_mesh(n_time=p["n_time"])
+    S_streams = p["streams"]
+    F = p["frames_per_block"]
+    n_blocks = 3
+    cfg = cfgmod.make_rx_config(None, frame_length=p["frame_length"])
+    txcfg = cfgmod.make_tx_config(None, frame_length=p["frame_length"])
+    srx = ShardedStreamRx(cfg, mesh, n_streams=S_streams,
+                          frames_per_block=F)
+    blk = srx.block_samples
+    B = (n_blocks - 1) * F  # trailing idle air
+
+    # every process generates the SAME input deterministically on its
+    # local CPU; the session uploads only each host's addressable shards
+    streams = np.zeros((S_streams, n_blocks * blk), np.complex64)
+    payloads, plens = [], []
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        txp = transmitter.build_tx(txcfg)
+        maxb = txcfg.max_frame_bytes()
+        for s in range(S_streams):
+            rng = np.random.RandomState(60 + s)
+            cnst = rng.randint(1, 5, B).astype(np.int32)
+            pay = np.zeros((B, maxb), np.uint8)
+            plen = np.zeros(B, np.int32)
+            for i in range(B):
+                plen[i] = txcfg.frame_bytes(
+                    int(cn.BITS_PER_SYMBOL[cnst[i]])) - 4
+                pay[i, : plen[i]] = rng.randint(0, 256, plen[i])
+            out = transmitter.tx_frames(
+                txp, jnp.asarray(pay), jnp.asarray(plen),
+                jnp.asarray(cnst), jnp.zeros(B, jnp.int32),
+                jnp.arange(B, dtype=jnp.int32), jax.random.PRNGKey(s))
+            flat = np.asarray(out.samples).reshape(-1)
+            sig = float(np.mean(np.abs(flat) ** 2))
+            off = 120 + 67 * s
+            streams[s, off: off + flat.size] = flat
+            streams[s] = np.asarray(channel.awgn(
+                jax.random.PRNGKey(200 + s), jnp.asarray(streams[s]),
+                float(np.sqrt(sig / 1e3))))
+            payloads.append(pay)
+            plens.append(plen)
+
+    decoded = [dict() for _ in range(S_streams)]
+    for b in range(n_blocks):
+        out, valid = srx.process(streams[:, b * blk: (b + 1) * blk])
+        pays = np.asarray(multihost_utils.process_allgather(
+            out.payload, tiled=True))
+        lens = np.asarray(multihost_utils.process_allgather(
+            out.payload_len, tiled=True))
+        nos = np.asarray(multihost_utils.process_allgather(
+            out.frame_no, tiled=True))
+        ok = valid & srx.last_crc_ok
+        for s in range(S_streams):
+            for i in np.nonzero(ok[s])[0]:
+                decoded[s][int(nos[s][i])] = (
+                    pays[s][i, : lens[s][i]].tobytes())
+    exact = all(
+        len(decoded[s]) == B
+        and all(decoded[s][i] == payloads[s][i, : plens[s][i]].tobytes()
+                for i in range(B))
+        for s in range(S_streams))
+    res = {
+        "process_id": jax.process_index(),
+        "n_processes": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "mesh": dict(mesh.shape),
+        "streams": S_streams,
+        "chained_blocks": n_blocks,
+        "frames_decoded": int(sum(len(d) for d in decoded)),
+        "byte_exact": bool(exact),
+        "lost_frames": int(srx.n_lost.sum()),
+    }
+    print("SESSION_RESULT " + json.dumps(res), flush=True)
+    assert exact, "distributed session decode mismatch"
+
+
+def launch_session(procs: int, devices_per_proc: int, p: dict):
+    """Spawn a REAL multi-process continuous sharded session."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    mh_env = {f"GR_DTL_MH_{k.upper()}": str(v) for k, v in p.items()}
+
+    def env_for(pid):
+        e = dict(os.environ)
+        e.update(mh_env)
+        e.update({
+            "JAX_COORDINATOR": coord,
+            "JAX_NUM_PROCESSES": str(procs),
+            "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS":
+                f"--xla_force_host_platform_device_count={devices_per_proc}",
+        })
+        return e
+
+    ps = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--session-worker"],
+        env=env_for(i), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(procs)]
+    outs = [proc.communicate(timeout=3600)[0] for proc in ps]
+    workers = []
+    for i, (proc, o) in enumerate(zip(ps, outs)):
+        if proc.returncode != 0:
+            sys.stderr.write(f"--- session worker {i} failed ---\n{o}\n")
+            raise SystemExit(f"session worker {i} exited {proc.returncode}")
+        line = [l for l in o.splitlines()
+                if l.startswith("SESSION_RESULT ")]
+        workers.append(json.loads(line[-1][len("SESSION_RESULT "):]))
+    result = {
+        "mode": "distributed-session",
+        "n_processes": procs,
+        "workers": workers,
+        "byte_exact_all": all(w["byte_exact"] for w in workers),
+        "note": f"{procs} OS processes, gloo collectives: the CONTINUOUS "
+                "sharded session (carried tail/lock/accounting state "
+                "chained across process() calls on the global mesh), "
+                "3 chained blocks, byte-exact decode of every stream "
+                "asserted in every process",
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
 def baseline(n_devices: int, half: bool = False):
     """Single-process reference points.
 
@@ -310,6 +462,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--launch", action="store_true")
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--session", action="store_true",
+                    help="launch the CONTINUOUS sharded session across "
+                         "--procs OS processes (ShardedStreamRx over "
+                         "the global mesh, chained blocks)")
+    ap.add_argument("--session-worker", action="store_true")
     ap.add_argument("--baseline", type=int, default=0)
     ap.add_argument("--half", action="store_true",
                     help="with --baseline: weak-scaling base (one host's "
@@ -322,6 +479,13 @@ def main():
     args = ap.parse_args()
     if args.worker:
         worker(args)
+    elif args.session_worker:
+        session_worker(args)
+    elif args.session:
+        p = {k: (getattr(args, k) if getattr(args, k) is not None
+                 else int(os.environ.get(f"GR_DTL_MH_{k.upper()}", v)))
+             for k, v in DEFAULTS.items()}
+        launch_session(args.procs, args.devices_per_proc, p)
     elif args.baseline:
         baseline(args.baseline, half=args.half)
     else:
