@@ -458,6 +458,17 @@ def run_stream_sharded(args):
     from gr_dtl_tpu.parallel.session import ShardedStreamRx
 
     rxcfg = cfgmod.make_rx_config(args.config, frame_length=args.frame_length)
+    fec = None
+    if rxcfg.fec:
+        from gr_dtl_tpu.utils import alist as alist_mod
+        from gr_dtl_tpu.models import fec_chain
+
+        if args.tb_frames > 1:
+            sys.exit("error: stream-sharded consumes in-graph-decoded "
+                     "frames; W>1 transport blocks (--tb-frames) are "
+                     "not wired into this mode's store loop yet")
+        fec = fec_chain.build_fec(
+            rxcfg, [alist_mod.load_alist(p) for _, p in rxcfg.fec_codes])
     mesh = meshmod.make_mesh(n_stream=args.mesh_stream, n_time=args.mesh_time)
     probe = None
     if args.zmq:
@@ -467,7 +478,7 @@ def run_stream_sharded(args):
     srx = ShardedStreamRx(rxcfg, mesh, n_streams=args.streams,
                           frames_per_block=args.frames_per_block,
                           blocks_per_dispatch=args.blocks_per_dispatch,
-                          probe=probe)
+                          fec=fec, probe=probe)
     S, D = args.streams, srx.dispatch_samples
     chunk_len = S * D
 
