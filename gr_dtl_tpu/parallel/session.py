@@ -135,28 +135,27 @@ class ShardedStreamRx:
             mesh, P("stream", "time") if self.K == 1
             else P("stream", None, "time"))
 
-        # state arrays are created from HOST buffers straight onto the
-        # mesh sharding (going through the process default device would
-        # be wrong when the mesh lives on a different backend, e.g. the
-        # CPU dry-run mesh next to a real chip).  make_array_from_callback
-        # also works when the mesh spans multiple PROCESSES (each host
-        # materializes only its addressable shards from the same
-        # deterministic host buffer), so the session runs unchanged over
-        # a jax.distributed global mesh.
-        def dev(x):
-            return self._gput(np.asarray(x), s_sh)
+        # initial state is DEVICE-PRODUCED (a jitted initializer with
+        # sharded outputs), never host-transferred: some attachments'
+        # compiled programs cannot consume host-uploaded buffers at all
+        # (see .claude/skills/verify), and a jit-with-out_shardings
+        # initializer also works unchanged when the mesh spans multiple
+        # processes.  Only the sample chunks themselves arrive from the
+        # host (the real ingest boundary).
+        S, tl = self.S, self.tail_len
 
-        S = self.S
-        self._tail = dev(np.zeros((S, self.tail_len), np.complex64))
-        self._lock = streaming.TriggerLockState(
-            locked=dev(np.zeros((S,), bool)),
-            expected=dev(np.zeros((S,), np.int32)),
-            sync_count=dev(np.zeros((S,), np.int32)),
-            miss_count=dev(np.zeros((S,), np.int32)),
-        )
-        self._fallback = dev(np.full((S,), int(cn.ConstellationType.BPSK),
-                                     np.int32))
-        self._expected_no = dev(np.full((S,), -1, np.int32))
+        def init_state():
+            return (jnp.zeros((S, tl), jnp.complex64),
+                    (jnp.zeros((S,), bool), jnp.zeros((S,), jnp.int32),
+                     jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32)),
+                    jnp.full((S,), int(cn.ConstellationType.BPSK),
+                             jnp.int32),
+                    jnp.full((S,), -1, jnp.int32))
+
+        (self._tail, lock4, self._fallback, self._expected_no) = jax.jit(
+            init_state,
+            out_shardings=(s_sh, (s_sh, s_sh, s_sh, s_sh), s_sh, s_sh))()
+        self._lock = streaming.TriggerLockState(*lock4)
         if self._use_tb:
             from gr_dtl_tpu.models import fec_chain
 
@@ -193,13 +192,16 @@ class ShardedStreamRx:
     def _fresh_tb_state(self):
         from gr_dtl_tpu.models import fec_chain
 
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        S = self.S
+
+        def mk():
             one = fec_chain.init_tb_state(self.fec)
-        return jax.tree.map(
-            lambda a: self._gput(
-                np.broadcast_to(np.asarray(a)[None],
-                                (self.S,) + np.asarray(a).shape).copy(),
-                self._s_sh), one)
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (S,) + a.shape), one)
+
+        shape = jax.eval_shape(mk)
+        return jax.jit(mk, out_shardings=jax.tree.map(
+            lambda _: self._s_sh, shape))()
 
     # ------------------------------------------------------------------
     def _build_step(self):
