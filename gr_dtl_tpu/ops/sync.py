@@ -40,6 +40,8 @@ __all__ = [
     "cfo_correct",
     "extract_windows",
     "extract_frames",
+    "extract_frames_batch",
+    "fine_cfo_batch",
 ]
 
 _HALF = 32  # repetition lag: fft_len // 2
@@ -121,6 +123,78 @@ def extract_frames(stream: jax.Array, trig: jax.Array, period: int,
         return extract_windows(stream, trig, period)
 
     return jax.lax.cond(uniform, fast, slow, None)
+
+
+def extract_frames_batch(streams: jax.Array, trig: jax.Array, period: int,
+                         tol: int = 4) -> jax.Array:
+    """Batched :func:`extract_frames` with the fast/slow decision OUTSIDE
+    any vmap: under ``vmap`` a ``lax.cond`` lowers to a select that runs
+    BOTH branches, so a vmapped ``extract_frames`` always pays the
+    gather.  Here one scalar uniformity vote across all streams picks
+    one branch for the whole batch (sharded sessions run many locked
+    streams in lockstep, so the vote almost always lands on fast).
+
+    Args:
+      streams: [S, N] per-stream sample rows.
+      trig:    [S, B] per-stream window starts.
+    Returns [S, B, period].
+    """
+    S, N = streams.shape
+    B = trig.shape[1]
+
+    def slow(_):
+        return jax.vmap(lambda r, t: extract_windows(r, t, period))(
+            streams, trig)
+
+    if N < B * period:
+        return slow(None)
+    rel = trig - jnp.arange(B, dtype=jnp.int32)[None, :] * period
+    base = jnp.median(rel, axis=1).astype(jnp.int32)       # [S]
+    uniform = jnp.all(jnp.abs(rel - base[:, None]) <= tol)
+
+    def fast(_):
+        def per(row, b):
+            start = jnp.clip(b, 0, N - B * period)
+            return jax.lax.dynamic_slice(
+                row, (start,), (B * period,)).reshape(B, period)
+
+        return jax.vmap(per)(streams, base)
+
+    return jax.lax.cond(uniform, fast, slow, None)
+
+
+def fine_cfo_batch(P: jax.Array, trig: jax.Array, cp_len: int,
+                   period: int, tol: int = 4) -> jax.Array:
+    """Batched :func:`fine_cfo` with the batch-level fast/slow decision
+    (same vmap-of-cond rationale as :func:`extract_frames_batch`).
+
+    Args:
+      P: [S, N'] per-stream correlation rows.
+      trig: [S, B] triggers.
+    Returns [S, B] fractional CFO.
+    """
+    S = P.shape[0]
+    B = trig.shape[1]
+    L = cp_len + 1
+
+    def slow(_):
+        def per(row, t):
+            start = jnp.clip(t - cp_len // 2, 0, row.shape[-1] - L)
+            return extract_windows(row, start, L)
+
+        return jax.vmap(per)(P, trig)
+
+    rel = trig - jnp.arange(B, dtype=jnp.int32)[None, :] * period
+    base = jnp.median(rel, axis=1).astype(jnp.int32)
+    uniform = jnp.all(jnp.abs(rel - base[:, None]) <= tol)
+    wins = jax.lax.cond(
+        uniform,
+        lambda _: jax.vmap(
+            lambda row, b: _periodic_rows(row, b - cp_len // 2, period, B,
+                                          L, left_pad=cp_len))(P, base),
+        slow, None)
+    Pav = jnp.sum(wins, axis=-1)
+    return (jnp.angle(Pav) / jnp.pi).astype(jnp.float32)
 
 
 def _periodic_rows(x: jax.Array, base, period: int, n: int, length: int,

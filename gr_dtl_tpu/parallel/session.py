@@ -210,11 +210,13 @@ class ShardedStreamRx:
         rxp, use_tb, fec = self.rxp, self._use_tb, self.fec
         mesh = self.mesh
 
-        def one_stream(ext, locked, expected, sync_count, miss_count,
-                       fallback, expected_no, tb_state):
-            """One stream's local sub-block (with left context) on one
-            (stream, time) mesh cell.  ``ext``: [tail_len + B_loc]; local
-            index u <-> single-device samples coord t_idx*B_loc + u."""
+        def sync_stage(ext, locked, expected, sync_count, miss_count):
+            """One stream's trigger acquisition on one (stream, time)
+            mesh cell.  ``ext``: [tail_len + B_loc]; local index u <->
+            single-device samples coord t_idx*B_loc + u.  Extraction and
+            CFO happen OUTSIDE the per-stream vmap (batch-level
+            fast/slow conds, ops/sync.extract_frames_batch — a vmapped
+            cond would run both branches)."""
             t_idx = jax.lax.axis_index("time")
             Pm, M = sync.timing_metric(ext, cfg.fft_len)
             # global fold vote: each shard folds its OWN B_loc metric
@@ -242,10 +244,11 @@ class ShardedStreamRx:
                 trig_all, (t_idx * F_local,), (F_local,)) - t_idx * B_loc
             valid_l = jax.lax.dynamic_slice(
                 valid_all, (t_idx * F_local,), (F_local,))
-            # ---- sharded heavy path: extract + demodulate own frames --
-            eps = sync.fine_cfo(Pm, trig_l, cfg.cp_len, period=Pn)
-            frames = sync.cfo_correct(
-                sync.extract_frames(ext, trig_l, Pn), eps, cfg.fft_len)
+            return Pm, trig_l, valid_l, lock
+
+        def demod_stage(frames, valid_l, fallback, expected_no, tb_state):
+            """One stream's demod + accounting over its extracted
+            frames [F_local, Pn]."""
             fb = jnp.full((F_local,), fallback, jnp.int32)
             tb_out = None
             if use_tb:
@@ -300,7 +303,7 @@ class ShardedStreamRx:
                                    tiled=True),
                 meta[2], meta[3],
             ])                                                    # [2 + 3F]
-            return (out, valid_l, lock, new_fallback, expected_no, acct_v,
+            return (out, new_fallback, expected_no, acct_v,
                     tb_state, tb_out)
 
         s = P("stream")
@@ -328,12 +331,24 @@ class ShardedStreamRx:
             new_tail = jax.lax.psum(
                 jnp.where(t_idx == n_time - 1, chunk[:, -tail_len:],
                           jnp.zeros_like(ring)), "time")
+            # stage 1 (vmapped): metric + trigger acquisition + locks
+            Pm, trig_l, valid_l, lk = jax.vmap(sync_stage)(
+                ext, lock[0], lock[1], lock[2], lock[3])
+            # batch-level extraction + CFO: ONE fast/slow cond for the
+            # whole local batch (a per-stream vmapped cond would run
+            # both branches and always pay the gather)
+            S_l = ext.shape[0]
+            frames = sync.extract_frames_batch(ext, trig_l, Pn)
+            eps = sync.fine_cfo_batch(Pm, trig_l, cfg.cp_len, Pn)
+            frames = sync.cfo_correct(
+                frames.reshape(S_l * F_local, Pn), eps.reshape(-1),
+                cfg.fft_len).reshape(S_l, F_local, Pn)
+            # stage 2 (vmapped): demod + TB + accounting
             res = jax.vmap(
-                one_stream, in_axes=(0, 0, 0, 0, 0, 0, 0,
-                                     None if tb_state is None else 0),
-            )(ext, lock[0], lock[1], lock[2], lock[3], fallback,
-              expected_no, tb_state)
-            (out, valid_l, lk, new_fallback, expected_no, acct_v,
+                demod_stage, in_axes=(0, 0, 0, 0,
+                                      None if tb_state is None else 0),
+            )(frames, valid_l, fallback, expected_no, tb_state)
+            (out, new_fallback, expected_no, acct_v,
              tb_state, tb_out) = res
             return (out, valid_l, (lk.locked, lk.expected, lk.sync_count,
                                    lk.miss_count), new_fallback,
