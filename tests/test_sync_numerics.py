@@ -166,3 +166,48 @@ def test_fine_cfo_periodic_matches_gather_on_affine():
     a = np.asarray(sync.fine_cfo(Pm, trig, 16))
     b = np.asarray(sync.fine_cfo(Pm, trig, 16, period=P))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_extract_frames_batch_fallback_and_fast():
+    """Batch form: non-affine triggers in ANY stream push the whole
+    batch to the exact gather; all-affine batches take the anchored
+    slice path (windows equal the per-stream anchored gather)."""
+    rng = np.random.RandomState(3)
+    P, S, B = 560, 3, 5
+    streams = jnp.asarray((rng.randn(S, B * P + 700)
+                           + 1j * rng.randn(S, B * P + 700))
+                          .astype(np.complex64))
+    # one stream drifts -> whole batch takes the gather path
+    trig = np.tile(np.arange(B, dtype=np.int32) * P + 90, (S, 1))
+    trig[1] += np.arange(B, dtype=np.int32) * 3
+    got = np.asarray(sync.extract_frames_batch(streams, jnp.asarray(trig), P))
+    want = np.stack([np.asarray(sync.extract_windows(streams[s],
+                                                     jnp.asarray(trig[s]), P))
+                     for s in range(S)])
+    np.testing.assert_array_equal(got, want)
+    # all-affine with small jitter -> anchored fast path per stream
+    jit2 = np.array([0, 1, -2, 2, -1], np.int32)
+    trig2 = np.stack([np.arange(B, dtype=np.int32) * P + 80 + 7 * s + jit2
+                      for s in range(S)])
+    got2 = np.asarray(sync.extract_frames_batch(streams,
+                                                jnp.asarray(trig2), P))
+    for s in range(S):
+        anchor = int(np.median(trig2[s] - np.arange(B) * P))
+        uni = jnp.asarray(np.arange(B, dtype=np.int32) * P + anchor)
+        np.testing.assert_array_equal(
+            got2[s], np.asarray(sync.extract_windows(streams[s], uni, P)))
+
+
+def test_fine_cfo_batch_matches_per_stream():
+    """Batch plateau-CFO equals the per-stream gather form on exactly
+    affine triggers."""
+    rng = np.random.RandomState(4)
+    P, S, B = 560, 3, 5
+    Pm = jnp.asarray((rng.randn(S, B * P + 700)
+                      + 1j * rng.randn(S, B * P + 700)).astype(np.complex64))
+    trig = jnp.asarray(np.stack(
+        [np.arange(B, dtype=np.int32) * P + 101 + 5 * s for s in range(S)]))
+    got = np.asarray(sync.fine_cfo_batch(Pm, trig, 16, P))
+    want = np.stack([np.asarray(sync.fine_cfo(Pm[s], trig[s], 16))
+                     for s in range(S)])
+    np.testing.assert_allclose(got, want, atol=1e-6)
